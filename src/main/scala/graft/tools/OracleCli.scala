@@ -1,0 +1,50 @@
+package graft.tools
+
+import graft.oracle.FuzzyMatcher
+import graft.kernel.Matcher
+import graft.text.PT
+
+/** Minimal single-node CLI over the oracle matcher — the analog of the
+  * reference's match-stream driver S4
+  * (/root/reference/cli/src/FuzzyMatch-cli.cc:112-193): index a corpus file
+  * (one sentence per line, 1-based line-number ids), then read patterns from
+  * stdin and emit one `score:id[ score:id...]` TSV-ish line per input.
+  *
+  * Usage: OracleCli CORPUS [fuzzy=0.8] [nmatch=5] [noPerfect=false] [ml=3] [mr=0.3] [patternsFile]
+  * Patterns come from `patternsFile` when given, else stdin.
+  */
+object OracleCli {
+  def main(args: Array[String]): Unit = {
+    implicit val codec: scala.io.Codec = scala.io.Codec.UTF8
+    require(args.nonEmpty, "usage: OracleCli CORPUS [fuzzy] [nmatch] [noPerfect] [ml] [mr]")
+    val corpus = args(0)
+    val fuzzy = if (args.length > 1) args(1).toFloat else 0.8f
+    val nmatch = if (args.length > 2) args(2).toInt else 5
+    val noPerfect = if (args.length > 3) args(3).toBoolean else false
+    val ml = if (args.length > 4) args(4).toInt else 3
+    val mr = if (args.length > 5) args(5).toFloat else 0.3f
+
+    val fm = new FuzzyMatcher(PT.default)
+    var n = 0
+    val src = scala.io.Source.fromFile(corpus)
+    try src.getLines().foreach { line => n += 1; fm.addTm(n.toString, line) }
+    finally src.close()
+    fm.sort()
+    System.err.println(s"indexed $n sentences from $corpus")
+
+    val params = Matcher.Params(fuzzy = fuzzy, numberOfMatches = nmatch,
+      noPerfect = noPerfect, minSubseqLength = ml, minSubseqRatio = mr)
+    var nonempty = 0L
+    var total = 0L
+    val patterns =
+      if (args.length > 6) scala.io.Source.fromFile(args(6)).getLines()
+      else scala.io.Source.stdin.getLines()
+    patterns.foreach { pattern =>
+      val res = fm.matchQuery(pattern, params)
+      total += 1
+      if (res.nonEmpty) nonempty += 1
+      println(res.map(m => f"${m.score}%.4f:${fm.externalId(m.sIdx)}").mkString("\t"))
+    }
+    System.err.println(s"NMATCH $nonempty/$total")
+  }
+}
