@@ -1,0 +1,45 @@
+package graft.dedup
+
+import graft.kernel.EditCosts
+import graft.text.PT
+
+/** Pipeline configuration. Match-semantics fields pin the reference CLI
+  * defaults (/root/reference/cli/src/FuzzyMatch-cli.cc:324-342); candidate
+  * generation fields tune the LSH/shingle stages (no reference analog — the
+  * reference's global suffix array is replaced by these at scale).
+  *
+  * The same config must be used to index and to match, as in the reference
+  * (README.md:18) — here it is threaded through every stage.
+  */
+final case class DedupConfig(
+    // --- match semantics (must mirror the oracle for recall parity) ---
+    threshold: Float = 0.8f,
+    minSubseqLength: Int = 3,
+    minSubseqRatio: Float = 0.3f,
+    pt: Int = PT.default,
+    maxTokensInPattern: Int = 300,
+    editCosts: EditCosts = EditCosts(),
+    // --- candidate generation ---
+    /** n-gram size for the exact inverted-index channel; pairs sharing a
+      * k-token substring are surfaced (k=3 matches the reference's
+      * effective min registered n-gram at default ml=3). */
+    shingleK: Int = 3,
+    /** max docs per shingle bucket before the bucket is dropped from the
+      * exact channel (hot shingles recovered by the MinHash channel);
+      * dropped-bucket counts surface in metrics — never silent. */
+    shingleDfCap: Int = 2000,
+    /** emit candidate pairs from the exact shingle channel. */
+    useNgramChannel: Boolean = true,
+    /** emit candidate pairs from MinHash LSH bands (the 10^12-row path). */
+    useMinhashChannel: Boolean = false,
+    minhashPerms: Int = 128,
+    minhashBands: Int = 32, // rows per band = perms / bands
+    /** max docs per band bucket before pair emission is capped. */
+    bandDfCap: Int = 2000,
+    /** rows with fewer tokens than shingleK are broadcast and matched by
+      * containment (reference unigram/short-pattern semantics). */
+    tinyPatternBroadcastCap: Int = 100000,
+    // --- execution ---
+    shufflePartitions: Int = 32,
+    ccMaxIterations: Int = 50,
+    seed: Long = 42L)

@@ -1,0 +1,121 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.data.Clip
+
+/** Per-stage metric row (the reference's NMATCH/STEP counters recast as a
+  * table, /root/reference/cli/src/FuzzyMatch-cli.cc:21-27,452-458). */
+final case class MetricRow(
+    stage: String,
+    partition_id: Int,
+    rows_in: Long,
+    rows_out: Long,
+    wall_ms: Long,
+    extra: Map[String, String])
+
+final case class DedupResult(
+    clusters: Dataset[ClusterRow],
+    edges: Dataset[Edge],
+    metrics: Seq[MetricRow])
+
+/** Orchestration of the three-stage dedup with optional per-stage parquet
+  * checkpoints (resumable: any existing stage output is read back instead of
+  * recomputed — idempotent re-run from any stage).
+  *
+  * Scale design notes (the 100 TB plan):
+  *  - tokenize/signature stages are narrow (no shuffle);
+  *  - candidates shuffle once on shingle/band hash (groupByKey); hot buckets
+  *    are capped and counted, skew beyond the cap is the MinHash channel's
+  *    job plus AQE skew handling on the joins;
+  *  - verify shuffles candidate tokens once (hash join on candidate id) and
+  *    cogroups by pattern id — everything else is partition-local;
+  *  - connected components iterate small self-joins over the (much smaller)
+  *    edge set with per-iteration localCheckpoint.
+  */
+object DedupPipeline {
+
+  def sessionDefaults(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+
+  private def stagePath(dir: String, name: String) = s"$dir/$name"
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Run (or resume) the full pipeline. */
+  def run(clips: Dataset[Clip], cfg: DedupConfig, checkpointDir: Option[String] = None): DedupResult = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    val metrics = scala.collection.mutable.ListBuffer.empty[MetricRow]
+
+    def timed[T](stage: String, rowsIn: => Long, extra: Map[String, String] = Map.empty)(body: => (T, Long)): T = {
+      val t0 = System.nanoTime()
+      val (res, rowsOut) = body
+      metrics += MetricRow(stage, -1, rowsIn, rowsOut, (System.nanoTime() - t0) / 1000000L, extra)
+      res
+    }
+
+    /** compute-or-restore a stage checkpoint. */
+    def checkpointed[T](name: String, compute: => Dataset[T])(
+        read: DataFrame => Dataset[T]): Dataset[T] = {
+      checkpointDir match {
+        case Some(dir) =>
+          val path = stagePath(dir, name)
+          if (!exists(spark, path))
+            compute.write.mode(SaveMode.Overwrite).parquet(path)
+          read(spark.read.parquet(path))
+        case None => compute
+      }
+    }
+
+    val nClips = clips.count()
+
+    // Stage 1: tokenize (narrow) — persist: reused by shingles + verify sides
+    val toks = checkpointed("tokens", TokenizeStage(clips, cfg))(_.as[TokRow])
+      .persist()
+    val nToks = timed("tokenize", nClips) { (toks, toks.count()) }.count()
+
+    // Stage 1b: signatures (narrow) — only materialized when the LSH channel is on
+    lazy val sigs = checkpointed("signatures", SignatureStage(toks, cfg))(_.as[SigRow])
+
+    // Stage 2a: candidates
+    val sc = spark.sparkContext
+    val cappedShingleBuckets = sc.longAccumulator("cappedShingleBuckets")
+    val cappedShinglePairs = sc.longAccumulator("cappedShinglePairsLost")
+    val cappedBandBuckets = sc.longAccumulator("cappedBandBuckets")
+    val cands = checkpointed("candidates",
+      CandidateStage(toks, sigs, cfg, cappedShingleBuckets, cappedShinglePairs, cappedBandBuckets))(_.as[CandPair])
+      .persist()
+    val nCands = timed("candidates", nToks, Map(
+      "capped_shingle_buckets" -> cappedShingleBuckets.value.toString,
+      "capped_shingle_pairs_lost" -> cappedShinglePairs.value.toString,
+      "capped_band_buckets" -> cappedBandBuckets.value.toString)) {
+      (cands, cands.count())
+    }.count()
+
+    // Stage 2b: verify
+    val edges = checkpointed("edges", VerifyStage(toks, cands, cfg))(_.as[Edge]).persist()
+    val nEdges = timed("verify", nCands) { (edges, edges.count()) }.count()
+
+    // Stage 3: connected components
+    val clusters = checkpointed("clusters",
+      ConnectedComponents(edges, toks.select($"clip_id").toDF(), cfg.ccMaxIterations))(_.as[ClusterRow])
+      .persist()
+    timed("cluster", nEdges) { (clusters, clusters.count()) }
+
+    checkpointDir.foreach { dir =>
+      metrics.toSeq.toDS().write.mode(SaveMode.Overwrite).parquet(stagePath(dir, "metrics"))
+    }
+    cands.unpersist()
+    DedupResult(clusters, edges, metrics.toSeq)
+  }
+}

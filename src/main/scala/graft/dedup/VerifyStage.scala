@@ -1,0 +1,67 @@
+package graft.dedup
+
+import org.apache.spark.sql.Dataset
+import graft.kernel.{Doc, Matcher, SuffixIndex}
+
+/** Verified duplicate edge. `kind` = "substring" when the pattern matched in
+  * full inside the candidate (the reference's subsequence dup class,
+  * /root/reference/src/fuzzy_match.cc:250-365), else "edit". */
+final case class Edge(a: String, b: String, score: Double, lcs: Int, kind: String)
+
+/** (pattern id, candidate token row) join product. */
+final case class CandTok(p: String, t: TokRow)
+
+/** Stage 2b — pair verification. Groups candidates by pattern and runs the
+  * REFERENCE MATCHER per group over a per-group suffix-array index: the
+  * n-gram sweep + longest-match consolidation (J1/J2/A1/A2), coverage
+  * rejection (P6), weighted edit-distance DP with branch-and-bound (F5/O3),
+  * float score quantization (F7), and threshold filter (P8) all run
+  * partition-locally, exactly as the reference runs them against its global
+  * index (/root/reference/src/fuzzy_match.cc:436-612). Shuffle boundaries:
+  * one hash join (candidate tokens) + one cogroup (by pattern).
+  */
+object VerifyStage {
+
+  def apply(toks: Dataset[TokRow], cands: Dataset[CandPair], cfg: DedupConfig): Dataset[Edge] = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+
+    val params = Matcher.Params(
+      fuzzy = cfg.threshold,
+      numberOfMatches = 0, // unlimited: dedup wants every pair over threshold
+      noPerfect = false,
+      minSubseqLength = cfg.minSubseqLength,
+      minSubseqRatio = cfg.minSubseqRatio,
+      editCosts = cfg.editCosts,
+      maxTokensInPattern = cfg.maxTokensInPattern)
+
+    val candToks = cands
+      .joinWith(toks, cands("c") === toks("clip_id"))
+      .map { case (cp, t) => CandTok(cp.p, t) }
+
+    toks.groupByKey(_.clip_id)
+      .cogroup(candToks.groupByKey(_.p)) { (patternId, pIt, cIt) =>
+        if (!pIt.hasNext) Iterator.empty
+        else {
+          val pRow = pIt.next()
+          val candRows = cIt.map(_.t).toArray
+          if (candRows.isEmpty) Iterator.empty
+          else {
+            val index = new SuffixIndex
+            val docs = new Array[Doc](candRows.length)
+            var i = 0
+            while (i < candRows.length) {
+              index.add(candRows(i).ids)
+              docs(i) = Doc(candRows(i).ids, candRows(i).reals, candRows(i).itoks)
+              i += 1
+            }
+            val pattern = Doc(pRow.ids, pRow.reals, pRow.itoks)
+            Matcher.matchPattern(index, docs, pattern, params).iterator.map { m =>
+              val kind = if (m.maxSubseq >= pRow.n_tokens) "substring" else "edit"
+              Edge(patternId, candRows(m.sIdx).clip_id, m.score, m.maxSubseq, kind)
+            }
+          }
+        }
+      }
+  }
+}

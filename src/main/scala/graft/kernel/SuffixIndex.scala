@@ -128,28 +128,12 @@ final class SuffixIndex {
   }
 
   /** Length-window pre-rejection P5 (/root/reference/src/ngram_matches.cc:31-39). */
-  def theoreticalRejection(pLen: Int, sLen: Int, ec: EditCosts, fuzzy: Float): Boolean = {
-    val sizeDifference = math.abs(pLen.toFloat - sLen.toFloat)
-    val remainingCost = if (pLen >= sLen) ec.insert else ec.delete
-    val bound = 1f - remainingCost * sizeDifference / Costs.normalizer(pLen, sLen, ec)
-    bound + 0.000005f < fuzzy
-  }
+  def theoreticalRejection(pLen: Int, sLen: Int, ec: EditCosts, fuzzy: Float): Boolean =
+    SuffixIndex.theoreticalRejection(pLen, sLen, ec, fuzzy)
 
   /** Coverage-based pre-rejection P6 (/root/reference/src/ngram_matches.cc:41-59). */
-  def theoreticalRejectionCover(pLen: Int, sLen: Int, cover: Int, ec: EditCosts, fuzzy: Float): Boolean = {
-    val bound =
-      if (ec.insert + ec.delete < ec.replace)
-        1f - (ec.insert * (sLen.toFloat - cover) + ec.delete * (pLen.toFloat - cover)) /
-          Costs.normalizer(pLen, sLen, ec)
-      else {
-        val costRemaining = if (pLen > sLen) ec.insert else ec.delete
-        val minLength = math.min(pLen, sLen).toFloat
-        val maxLength = math.max(pLen, sLen).toFloat
-        1f - (ec.replace * (minLength - cover) + costRemaining * (maxLength - minLength)) /
-          Costs.normalizer(pLen, sLen, ec)
-      }
-    bound + 0.000005f < fuzzy
-  }
+  def theoreticalRejectionCover(pLen: Int, sLen: Int, cover: Int, ec: EditCosts, fuzzy: Float): Boolean =
+    SuffixIndex.theoreticalRejectionCover(pLen, sLen, cover, ec, fuzzy)
 
   /** The all-positions n-gram sweep with differential range registration
     * (J2, /root/reference/src/fuzzy_match.cc:484-551) feeding the
@@ -213,6 +197,34 @@ final class SuffixIndex {
     scala.util.Sorting.stableSort(arr, (a: (Int, Int), b: (Int, Int)) =>
       a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
     arr
+  }
+}
+
+object SuffixIndex {
+  /** Length-window pre-rejection P5 (/root/reference/src/ngram_matches.cc:31-39):
+    * best theoretically achievable score from the length difference alone
+    * can't reach the threshold (5e-6 epsilon absorbs float rounding). */
+  def theoreticalRejection(pLen: Int, sLen: Int, ec: EditCosts, fuzzy: Float): Boolean = {
+    val sizeDifference = math.abs(pLen.toFloat - sLen.toFloat)
+    val remainingCost = if (pLen >= sLen) ec.insert else ec.delete
+    val bound = 1f - remainingCost * sizeDifference / Costs.normalizer(pLen, sLen, ec)
+    bound + 0.000005f < fuzzy
+  }
+
+  /** Coverage-based pre-rejection P6 (/root/reference/src/ngram_matches.cc:41-59). */
+  def theoreticalRejectionCover(pLen: Int, sLen: Int, cover: Int, ec: EditCosts, fuzzy: Float): Boolean = {
+    val bound =
+      if (ec.insert + ec.delete < ec.replace)
+        1f - (ec.insert * (sLen.toFloat - cover) + ec.delete * (pLen.toFloat - cover)) /
+          Costs.normalizer(pLen, sLen, ec)
+      else {
+        val costRemaining = if (pLen > sLen) ec.insert else ec.delete
+        val minLength = math.min(pLen, sLen).toFloat
+        val maxLength = math.max(pLen, sLen).toFloat
+        1f - (ec.replace * (minLength - cover) + costRemaining * (maxLength - minLength)) /
+          Costs.normalizer(pLen, sLen, ec)
+      }
+    bound + 0.000005f < fuzzy
   }
 }
 

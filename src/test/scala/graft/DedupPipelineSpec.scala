@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.data.{AudioPcm, SynthCorpus}
+import graft.dedup._
+import graft.kernel.Matcher
+import graft.oracle.FuzzyMatcher
+
+/** The north-rule gate: the distributed pipeline's dup-pair decisions must
+  * reproduce the single-node oracle's (exact reference semantics) with
+  * recall ≥ 0.99 at the same config, and clusters must equal the transitive
+  * closure of the oracle's pairs. */
+class DedupPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = DedupPipeline.sessionDefaults(
+    SparkSession.builder().master("local[4]").appName("dedup-spec"), 4)
+    .getOrCreate()
+
+  private val nRows = 400
+  private val cfg = DedupConfig(threshold = 0.8f)
+
+  private def oraclePairs(transcripts: Seq[(String, String)]): Set[(String, String)] = {
+    val fm = new FuzzyMatcher(cfg.pt, cfg.maxTokensInPattern)
+    transcripts.foreach { case (id, t) => fm.addTm(id, t) }
+    fm.allDupPairs(Matcher.Params(
+      fuzzy = cfg.threshold,
+      minSubseqLength = cfg.minSubseqLength,
+      minSubseqRatio = cfg.minSubseqRatio,
+      editCosts = cfg.editCosts,
+      maxTokensInPattern = cfg.maxTokensInPattern))
+  }
+
+  private def norm(a: String, b: String): (String, String) = if (a < b) (a, b) else (b, a)
+
+  private lazy val transcripts = SynthCorpus.transcripts(nRows)
+  private lazy val oracle: Set[(String, String)] = oraclePairs(transcripts)
+
+  private lazy val result: DedupResult = {
+    val clips = SynthCorpus.generate(spark, nRows)
+    DedupPipeline.run(clips, cfg)
+  }
+
+  private lazy val pipelinePairs: Set[(String, String)] =
+    result.edges.collect().map(e => norm(e.a, e.b)).toSet
+
+  test("oracle finds a meaningful dup-pair set on the synthetic corpus") {
+    assert(oracle.size > nRows / 4, s"only ${oracle.size} oracle pairs — corpus too easy/hard")
+  }
+
+  test("pipeline dup-pair recall >= 0.99 vs oracle decisions") {
+    val missed = oracle -- pipelinePairs
+    val recall = 1.0 - missed.size.toDouble / math.max(1, oracle.size)
+    assert(recall >= 0.99, s"recall $recall; missed ${missed.take(5)}")
+  }
+
+  test("pipeline emits no pairs the oracle rejects (kernel parity)") {
+    val extra = pipelinePairs -- oracle
+    assert(extra.isEmpty, s"${extra.size} extra pairs, e.g. ${extra.take(5)}")
+  }
+
+  test("clusters equal the transitive closure of oracle pairs") {
+    // union-find over oracle pairs
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: String, b: String): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    oracle.foreach { case (a, b) => union(a, b) }
+    val expected = transcripts.map(_._1).map(id => id -> find(id)).toMap
+
+    val got = result.clusters.collect().map(r => r.clip_id -> r.cluster_id).toMap
+    // compare partitions (cluster ids are min-member on both sides)
+    assert(got.size == expected.size)
+    val mismatches = expected.collect { case (id, c) if got.getOrElse(id, "?") != c => (id, c, got.get(id)) }
+    assert(mismatches.isEmpty, s"${mismatches.size} cluster mismatches, e.g. ${mismatches.take(5)}")
+  }
+
+  test("audio bytes pass through untouched: decoded PCM is bit-exact (SNR = inf)") {
+    val clip = SynthCorpus.clipForId(5L, 42L)
+    val viaSpark = {
+      import spark.implicits._
+      SynthCorpus.generate(spark, 8).filter(_.clip_id == clip.clip_id).head()
+    }
+    val ref = AudioPcm.decodePcm(clip.bytes)
+    val got = AudioPcm.decodePcm(viaSpark.bytes)
+    assert(AudioPcm.snrDb(ref, got).isPosInfinity)
+    assert(viaSpark.transcript == clip.transcript)
+  }
+
+  test("metrics rows cover every stage with non-negative wall times") {
+    val stages = result.metrics.map(_.stage).toSet
+    assert(Set("tokenize", "candidates", "verify", "cluster").subsetOf(stages))
+    assert(result.metrics.forall(_.wall_ms >= 0))
+  }
+
+  test("resumability: re-run from checkpoints yields identical clusters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val clips = SynthCorpus.generate(spark, 100)
+    val r1 = DedupPipeline.run(clips, cfg, Some(dir))
+    val c1 = r1.clusters.collect().map(r => (r.clip_id, r.cluster_id)).sorted
+    // delete downstream, keep tokens+candidates: resume must reproduce
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/edges"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/clusters"), true)
+    val r2 = DedupPipeline.run(clips, cfg, Some(dir))
+    val c2 = r2.clusters.collect().map(r => (r.clip_id, r.cluster_id)).sorted
+    assert(c1.sameElements(c2))
+  }
+}
