@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{PipelineQueries, Queries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator (SURVEY.md §2 + the
+  * training-pipeline family) to a DataFrame over the given sf dir;
+  * `oracleSql` carries the DuckDB-equivalent SQL for the SQL-expressible
+  * subset (identical column names/aliases on both sides — the driver's
+  * compare hashes values after sorting columns by name). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full three-stage near-dup pipeline (signatures → LSH/
+    * shingle candidates → suffix-array+DP verify → connected components)
+    * over the sf0.001 documents table as clip transcripts. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    PipelineQueries.qDedupClusters(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.sqlOracled ++ PipelineQueries.rowsOnly
+
+  def oracleSql: Map[String, String] = Queries.oracle
 }

@@ -99,6 +99,7 @@ object Hashing {
         i += 1
       }
       out(b) = mix64(h)
+      b += 1
     }
     out
   }

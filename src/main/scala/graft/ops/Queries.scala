@@ -1,0 +1,319 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-contract operator queries over the /root/testdata tables, each with
+  * an equivalent DuckDB oracle SQL (see `oracle`). Every aggregate/computed
+  * column is aliased IDENTICALLY on both sides; doubles are rounded so both
+  * engines hash equal values; counts/sizes are cast to BIGINT to match
+  * DuckDB's default integer widths.
+  *
+  * Sections mirror SURVEY.md §2's operator inventory: scans/filters (S1/P*),
+  * aggregations (A3/A4/A6), top-k (O2), joins, plus the training-pipeline
+  * operator family (dedup, similarity, text analysis) the engine adds.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------- relational core ----------------
+
+  /** TPC-H Q1-style flagship aggregation (A-family; scan → groupBy → agg). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Filter + projection + deterministic top-k (P-family + O2). */
+  def qFilterTopk(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 45.0 && col("l_discount") >= 0.05)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+  }
+
+  /** Broadcast join + aggregation. */
+  def qJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+  }
+
+  /** Ranking window: top-3 orders per priority (O2 as a window). */
+  def qWindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("rn").cast("bigint").as("rn"))
+  }
+
+  /** Time-window aggregation over the events stream table (batch form of the
+    * streaming hourly rollup). */
+  def qEventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+  }
+
+  // ---------------- text / dedup operator family ----------------
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Word document-frequency (A3 — the reference's sfreq,
+    * /root/reference/src/vocab_indexer.cc:73-90). */
+  def qDocFreq(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents")
+      .select(explode(array_distinct(toks(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+  }
+
+  /** IDF penalty vector (A4 — /root/reference/src/fuzzy_match.cc:367-390). */
+  def qIdf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val n = docs.count().toDouble
+    docs.select(explode(array_distinct(toks(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .select(col("token"), col("df"), round(log(lit(n) / col("df")), 4).as("idf"))
+  }
+
+  /** Token counting (P3 length basis). */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), size(toks(col("text"))).cast("bigint").as("n_tokens"))
+
+  /** Exact deduplication: hash-group by full text (cluster rep = min id). */
+  def qExactDedup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("rep_doc_id"), count(lit(1)).as("dup_count"))
+      .select("rep_doc_id", "dup_count")
+
+  /** Length-window candidate pre-rejection P5 as a pair filter
+    * (/root/reference/src/ngram_matches.cc:31-39 recast relationally). */
+  def qLenWindowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select("doc_id", "lang", "n_chars")
+    val a = d.toDF("a_id", "lang", "a_chars")
+    val b = d.toDF("b_id", "lang", "b_chars")
+    a.join(b, "lang")
+      .filter(col("a_id") < col("b_id") && abs(col("a_chars") - col("b_chars")) <= 5)
+      .select("a_id", "b_id")
+  }
+
+  /** Distinct k-gram shingle count per document (J2's shingling basis). */
+  def qNgramShingles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("tk", toks(col("text")))
+      .select(col("doc_id"),
+        when(size(col("tk")) >= 3,
+          size(array_distinct(expr(
+            "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', slice(tk, i + 1, 3)))"))))
+          .otherwise(lit(0)).cast("bigint").as("n_shingles"))
+
+  /** Quality scoring: token/char stats per document. */
+  def qQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("tk", toks(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("bigint").as("n_tokens"),
+        length(col("text")).cast("bigint").as("text_len"),
+        round((length(col("text")) - (size(col("tk")) - 1)).cast("double") / size(col("tk")), 4)
+          .as("avg_tok_len"),
+        round(size(array_distinct(col("tk"))).cast("double") / size(col("tk")), 4)
+          .as("distinct_ratio"))
+
+  /** Language-ID heuristic: stopword-hit ratio (integer-safe scoring). */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
+    t(spark, dir, "documents")
+      .withColumn("tk", toks(col("text")))
+      .select(
+        col("doc_id"),
+        size(expr(s"filter(tk, x -> x in (${stop.map(s => s"'$s'").mkString(",")}))"))
+          .cast("bigint").as("stop_hits"),
+        size(col("tk")).cast("bigint").as("n_tokens"))
+      .withColumn("pred_lang",
+        when(col("stop_hits") * 20 >= col("n_tokens"), lit("en")).otherwise(lit("other")))
+  }
+
+  /** Document fingerprint: rolling polynomial hash (31, mod 2^31−1) over the
+    * text — identical integer arithmetic on both engines. */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), expr(
+        "aggregate(transform(sequence(1, char_length(text)), " +
+        "i -> cast(ascii(substring(text, i, 1)) as bigint)), cast(0 as bigint), " +
+        "(acc, c) -> (acc * 31 + c) % 2147483647)").as("fp"))
+
+  /** N-gram Jaccard near-dup pairs (same-lang, distinct 3-gram shingles). */
+  def qJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .withColumn("tk", toks(col("text")))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("lang"), array_distinct(expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', slice(tk, i + 1, 3)))"))
+        .as("sh"))
+    val a = d.toDF("a_id", "lang", "a_sh")
+    val b = d.toDF("b_id", "lang", "b_sh")
+    a.join(b, "lang")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("jac", round(
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        size(array_union(col("a_sh"), col("b_sh"))), 4))
+      .filter(col("jac") >= 0.2)
+      .select("a_id", "b_id", "jac")
+  }
+
+  // ---------------- similarity search (embeddings) ----------------
+
+  private val dotExpr =
+    "aggregate(zip_with(a_emb, b_emb, (x, y) -> cast(x as double) * cast(y as double)), " +
+    "cast(0 as double), (acc, v) -> acc + v)"
+  private val normExpr =
+    "sqrt(aggregate(embedding, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+
+  /** L2 norm per embedding (vector scalar function family). */
+  def qEmbedNorm(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), round(expr(normExpr), 4).as("l2"))
+
+  /** Brute-force cosine top-5 neighbors for the first 10 vectors (the exact
+    * ANN baseline; the LSH-bucketed variant is the scale path). */
+  def qAnnTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"))
+    val q = e.filter(col("vec_id") < 10).toDF("q_id", "a_emb", "a_nrm")
+    val c = e.toDF("c_id", "b_emb", "b_nrm")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    q.join(c, col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(expr(dotExpr) / (col("a_nrm") * col("b_nrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rn").cast("bigint").as("rn"))
+  }
+
+  // ---------------- oracle SQL (DuckDB) ----------------
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS cnt FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_filter_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        | WHERE l_quantity >= 45.0 AND l_discount >= 0.05
+        | ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100""".stripMargin,
+    "q_join_agg" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        | FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        | round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2""".stripMargin,
+    "q_doc_freq" ->
+      """SELECT token, count(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        | GROUP BY 1""".stripMargin,
+    "q_idf" ->
+      """WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        | df AS (SELECT token, count(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1)
+        | SELECT token, df, round(ln(n.n / df.df), 4) AS idf FROM df, n""".stripMargin,
+    "q_token_count" ->
+      "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents",
+    "q_exact_dedup" ->
+      """SELECT min(doc_id) AS rep_doc_id, count(*) AS dup_count FROM documents GROUP BY text""".stripMargin,
+    "q_len_window_pairs" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM documents a JOIN documents b
+        | ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 5""".stripMargin,
+    "q_ngram_shingles" ->
+      """SELECT doc_id, (CASE WHEN len(tk) >= 3 THEN
+        |  len(list_distinct([array_to_string(tk[i+1:i+3], ' ') for i in range(0, len(tk) - 2)]))
+        |  ELSE 0 END)::BIGINT AS n_shingles
+        | FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)""".stripMargin,
+    "q_quality" ->
+      """SELECT doc_id, len(tk)::BIGINT AS n_tokens, length(text)::BIGINT AS text_len,
+        | round((length(text) - (len(tk) - 1))::DOUBLE / len(tk), 4) AS avg_tok_len,
+        | round(len(list_distinct(tk))::DOUBLE / len(tk), 4) AS distinct_ratio
+        | FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)""".stripMargin,
+    "q_langid" ->
+      """SELECT doc_id, stop_hits, n_tokens,
+        | CASE WHEN stop_hits * 20 >= n_tokens THEN 'en' ELSE 'other' END AS pred_lang
+        | FROM (SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '),
+        |   x -> x IN ('the','a','of','to','and','in','is','for','on','with')))::BIGINT AS stop_hits,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents)""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |  [unicode(text[i:i])::BIGINT for i in range(1, length(text) + 1)]),
+        |  (acc, c) -> (acc * 31 + c) % 2147483647) AS fp FROM documents""".stripMargin,
+    "q_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |   list_distinct([array_to_string(tk[i+1:i+3], ' ') for i in range(0, len(tk) - 2)]) AS sh
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)
+        |  WHERE len(tk) >= 3)
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+        | FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |       len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2""".stripMargin,
+    "q_embed_norm" ->
+      """SELECT vec_id, round(sqrt(list_reduce(list_prepend(0::DOUBLE,
+        |  [x::DOUBLE * x::DOUBLE for x in embedding]), (a, b) -> a + b)), 4) AS l2
+        | FROM embeddings""".stripMargin,
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |   sqrt(list_reduce(list_prepend(0::DOUBLE, [x::DOUBLE * x::DOUBLE for x in embedding]),
+        |        (a, b) -> a + b)) AS nrm FROM embeddings),
+        | p AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        |   round(list_reduce(list_prepend(0::DOUBLE,
+        |     [a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE for i in range(0, len(a.embedding))]),
+        |     (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+        | SELECT q_id, c_id, sim, rn FROM (
+        |  SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rn
+        |  FROM p) WHERE rn <= 5""".stripMargin
+  )
+
+  /** Registry of SQL-oracled queries (names match `oracle` keys). */
+  val sqlOracled: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_filter_topk" -> (qFilterTopk _),
+    "q_join_agg" -> (qJoinAgg _),
+    "q_window_topk" -> (qWindowTopk _),
+    "q_events_hourly" -> (qEventsHourly _),
+    "q_doc_freq" -> (qDocFreq _),
+    "q_idf" -> (qIdf _),
+    "q_token_count" -> (qTokenCount _),
+    "q_exact_dedup" -> (qExactDedup _),
+    "q_len_window_pairs" -> (qLenWindowPairs _),
+    "q_ngram_shingles" -> (qNgramShingles _),
+    "q_quality" -> (qQuality _),
+    "q_langid" -> (qLangId _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_jaccard_pairs" -> (qJaccardPairs _),
+    "q_embed_norm" -> (qEmbedNorm _),
+    "q_ann_topk" -> (qAnnTopk _)
+  )
+}
