@@ -22,25 +22,50 @@ final case class Clip(
 object SynthCorpus {
   final val VariantsPerBase = 8
 
-  private val vocab: Array[String] = Array(
-    "the", "a", "of", "to", "and", "in", "is", "for", "on", "with",
-    "data", "query", "table", "row", "column", "batch", "stream", "filter",
-    "sort", "hash", "join", "merge", "scan", "agg", "window", "value",
-    "spark", "shuffle", "partition", "cluster", "audio", "clip", "speech",
-    "model", "token", "match", "score", "fuzzy", "index", "search",
-    "small", "big", "fast", "slow", "new", "old", "good", "line",
-    "system", "report", "house", "world", "market", "water", "light",
-    "order", "part", "supplier", "customer", "nation", "region", "price")
+  /** Zipf-distributed vocabulary (8k types, alpha ≈ 1.1) approximating a
+    * real speech-transcript distribution: a handful of very hot function
+    * words, a long tail of content words. A tiny flat vocab would make every
+    * 3-shingle hot and blow candidate generation up quadratically — realistic
+    * skew is exactly what the shingle-df cap + MinHash fallback are sized for. */
+  private val VocabSize = 8192
+  private val vocab: Array[String] = {
+    val common = Array("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
+    // letter-only unique words (digits would split under the aggressive
+    // tokenizer and collapse the vocabulary to ("w", ｟num｠) bigrams)
+    common ++ (common.length until VocabSize).map { i =>
+      var v = i + 26 * 26 * 26 // ≥ 4 letters, unique per index
+      val sb = new StringBuilder
+      while (v > 0) { sb.insert(0, ('a' + v % 26).toChar); v /= 26 }
+      sb.toString
+    }
+  }
+  private val zipfCum: Array[Double] = {
+    val w = Array.tabulate(VocabSize)(i => 1.0 / math.pow(i + 2.0, 1.1))
+    val cum = new Array[Double](VocabSize)
+    var acc = 0.0
+    var i = 0
+    while (i < VocabSize) { acc += w(i); cum(i) = acc; i += 1 }
+    val total = acc
+    i = 0
+    while (i < VocabSize) { cum(i) /= total; i += 1 }
+    cum
+  }
+  @inline private def zipfWord(rng: java.util.Random): String = {
+    val u = rng.nextDouble()
+    var lo = 0; var hi = VocabSize - 1
+    while (lo < hi) { val mid = (lo + hi) >>> 1; if (zipfCum(mid) < u) lo = mid + 1 else hi = mid }
+    vocab(lo)
+  }
 
   @inline private def rngFor(seed: Long, salt: Long): java.util.Random =
     new java.util.Random(graft.kernel.Hashing.mix64(seed ^ (salt * 0x9e3779b97f4a7c15L)))
 
   private def baseSentence(seed: Long, baseIdx: Long): Array[String] = {
     val rng = rngFor(seed, baseIdx * 1000003L)
-    val n = 4 + rng.nextInt(20)
+    val n = 4 + rng.nextInt(28)
     val toks = new Array[String](n)
     var i = 0
-    while (i < n) { toks(i) = vocab(rng.nextInt(vocab.length)); i += 1 }
+    while (i < n) { toks(i) = zipfWord(rng); i += 1 }
     // guarantee a number token somewhere in the middle
     toks(n / 2) = (1 + rng.nextInt(9999)).toString
     toks

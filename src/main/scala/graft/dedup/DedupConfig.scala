@@ -25,17 +25,19 @@ final case class DedupConfig(
       * effective min registered n-gram at default ml=3). */
     shingleK: Int = 3,
     /** max docs per shingle bucket before the bucket is dropped from the
-      * exact channel (hot shingles recovered by the MinHash channel);
-      * dropped-bucket counts surface in metrics — never silent. */
-    shingleDfCap: Int = 2000,
+      * exact channel. Hot shingles (top Zipf words) otherwise cost O(df²)
+      * pairs per bucket — the quadratic wall at 10^12 rows. Dropped buckets
+      * are counted in metrics (never silent) and their pairs recovered by
+      * the MinHash channel + the rare-shingle co-occurrences of true dups. */
+    shingleDfCap: Int = 64,
     /** emit candidate pairs from the exact shingle channel. */
     useNgramChannel: Boolean = true,
     /** emit candidate pairs from MinHash LSH bands (the 10^12-row path). */
-    useMinhashChannel: Boolean = false,
+    useMinhashChannel: Boolean = true,
     minhashPerms: Int = 128,
-    minhashBands: Int = 32, // rows per band = perms / bands
+    minhashBands: Int = 64, // rows per band = perms / bands (r=2: catches the low-Jaccard tail of edit-dups)
     /** max docs per band bucket before pair emission is capped. */
-    bandDfCap: Int = 2000,
+    bandDfCap: Int = 256,
     /** rows with fewer tokens than shingleK are broadcast and matched by
       * containment (reference unigram/short-pattern semantics). */
     tinyPatternBroadcastCap: Int = 100000,

@@ -57,11 +57,11 @@ object DedupPipeline {
     import spark.implicits._
     val metrics = scala.collection.mutable.ListBuffer.empty[MetricRow]
 
-    def timed[T](stage: String, rowsIn: => Long, extra: Map[String, String] = Map.empty)(body: => (T, Long)): T = {
+    def timed(stage: String, rowsIn: => Long, extra: => Map[String, String] = Map.empty)(body: => Long): Long = {
       val t0 = System.nanoTime()
-      val (res, rowsOut) = body
+      val rowsOut = body
       metrics += MetricRow(stage, -1, rowsIn, rowsOut, (System.nanoTime() - t0) / 1000000L, extra)
-      res
+      rowsOut
     }
 
     /** compute-or-restore a stage checkpoint. */
@@ -82,7 +82,7 @@ object DedupPipeline {
     // Stage 1: tokenize (narrow) — persist: reused by shingles + verify sides
     val toks = checkpointed("tokens", TokenizeStage(clips, cfg))(_.as[TokRow])
       .persist()
-    val nToks = timed("tokenize", nClips) { (toks, toks.count()) }.count()
+    val nToks = timed("tokenize", nClips)(toks.count())
 
     // Stage 1b: signatures (narrow) — only materialized when the LSH channel is on
     lazy val sigs = checkpointed("signatures", SignatureStage(toks, cfg))(_.as[SigRow])
@@ -98,19 +98,17 @@ object DedupPipeline {
     val nCands = timed("candidates", nToks, Map(
       "capped_shingle_buckets" -> cappedShingleBuckets.value.toString,
       "capped_shingle_pairs_lost" -> cappedShinglePairs.value.toString,
-      "capped_band_buckets" -> cappedBandBuckets.value.toString)) {
-      (cands, cands.count())
-    }.count()
+      "capped_band_buckets" -> cappedBandBuckets.value.toString))(cands.count())
 
     // Stage 2b: verify
     val edges = checkpointed("edges", VerifyStage(toks, cands, cfg))(_.as[Edge]).persist()
-    val nEdges = timed("verify", nCands) { (edges, edges.count()) }.count()
+    val nEdges = timed("verify", nCands)(edges.count())
 
     // Stage 3: connected components
     val clusters = checkpointed("clusters",
       ConnectedComponents(edges, toks.select($"clip_id").toDF(), cfg.ccMaxIterations))(_.as[ClusterRow])
       .persist()
-    timed("cluster", nEdges) { (clusters, clusters.count()) }
+    timed("cluster", nEdges)(clusters.count())
 
     checkpointDir.foreach { dir =>
       metrics.toSeq.toDS().write.mode(SaveMode.Overwrite).parquet(stagePath(dir, "metrics"))

@@ -98,6 +98,20 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(result.metrics.forall(_.wall_ms >= 0))
   }
 
+  test("recall >= 0.99 holds when hot-shingle caps actually trigger (scale config)") {
+    val n = 2400
+    val scaleCfg = cfg.copy(shingleDfCap = 24, bandDfCap = 96, useMinhashChannel = true)
+    val r = DedupPipeline.run(SynthCorpus.generate(spark, n), scaleCfg)
+    val capped = r.metrics.find(_.stage == "candidates").get.extra("capped_shingle_buckets").toLong
+    assert(capped > 0, "test corpus never triggered the cap — not exercising the scale path")
+    val got = r.edges.collect().map(e => norm(e.a, e.b)).toSet
+    val want = oraclePairs(SynthCorpus.transcripts(n))
+    val recall = 1.0 - (want -- got).size.toDouble / math.max(1, want.size)
+    assert(recall >= 0.99, s"capped recall $recall (missed ${(want -- got).size}/${want.size})")
+    val extra = got -- want
+    assert(extra.isEmpty, s"capped run emitted ${extra.size} non-oracle pairs")
+  }
+
   test("resumability: re-run from checkpoints yields identical clusters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val clips = SynthCorpus.generate(spark, 100)
