@@ -126,6 +126,8 @@ object PipelineQueries {
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
-    "q_subseq_contained" -> (qSubseqContained _)
+    "q_subseq_contained" -> (qSubseqContained _),
+    "q_audio_meta" -> (AudioOps.qAudioMeta _),
+    "q_audio_energy" -> (AudioOps.qAudioEnergy _)
   )
 }
