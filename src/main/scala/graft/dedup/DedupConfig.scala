@@ -42,6 +42,10 @@ final case class DedupConfig(
       * containment (reference unigram/short-pattern semantics). */
     tinyPatternBroadcastCap: Int = 100000,
     // --- execution ---
+    /** verify-stage skew valve: split each pattern's candidate list across
+      * this many salted sub-groups (decisions are per-candidate independent
+      * at numberOfMatches=0, so the edge set is unchanged). 1 = off. */
+    verifySalts: Int = 1,
     shufflePartitions: Int = 32,
     ccMaxIterations: Int = 50,
     seed: Long = 42L)

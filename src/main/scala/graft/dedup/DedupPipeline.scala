@@ -111,6 +111,9 @@ object DedupPipeline {
     timed("cluster", nEdges)(clusters.count())
 
     checkpointDir.foreach { dir =>
+      // per-partition lineage rows alongside the stage-level metrics
+      metrics ++= Metrics.perPartition("tokens", toks)
+      metrics ++= Metrics.perPartition("edges", edges)
       metrics.toSeq.toDS().write.mode(SaveMode.Overwrite).parquet(stagePath(dir, "metrics"))
     }
     cands.unpersist()

@@ -35,18 +35,33 @@ object VerifyStage {
       editCosts = cfg.editCosts,
       maxTokensInPattern = cfg.maxTokensInPattern)
 
+    // salt the group key: with numberOfMatches=0 every candidate's decision
+    // is independent, so a hot pattern's candidate list can split across
+    // salted sub-groups without changing the emitted edge set — this is the
+    // skew valve for patterns that land in thousands of buckets
+    val salts = math.max(1, cfg.verifySalts)
     val candToks = cands
       .joinWith(toks, cands("c") === toks("clip_id"))
-      .map { case (cp, t) => CandTok(cp.p, t) }
+      .map { case (cp, t) =>
+        val salt =
+          if (salts == 1) 0
+          else (graft.kernel.Hashing.fnv1a64(t.clip_id) % salts).toInt.abs
+        CandTok(cp.p + "#" + salt, t)
+      }
 
-    toks.groupByKey(_.clip_id)
-      .cogroup(candToks.groupByKey(_.p)) { (patternId, pIt, cIt) =>
+    val patternKeyed = toks.flatMap { t =>
+      (0 until salts).iterator.map(s => CandTok(t.clip_id + "#" + s, t))
+    }
+
+    patternKeyed.groupByKey(_.p)
+      .cogroup(candToks.groupByKey(_.p)) { (saltedKey, pIt, cIt) =>
         if (!pIt.hasNext) Iterator.empty
         else {
-          val pRow = pIt.next()
+          val pRow = pIt.next().t
           val candRows = cIt.map(_.t).toArray
           if (candRows.isEmpty) Iterator.empty
           else {
+            val patternId = saltedKey.substring(0, saltedKey.lastIndexOf('#'))
             val index = new SuffixIndex
             val docs = new Array[Doc](candRows.length)
             var i = 0

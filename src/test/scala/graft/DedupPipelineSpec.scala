@@ -112,6 +112,15 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"capped run emitted ${extra.size} non-oracle pairs")
   }
 
+  test("verify-stage salting leaves the edge set unchanged") {
+    val clips = SynthCorpus.generate(spark, 240)
+    val plain = DedupPipeline.run(clips, cfg).edges.collect()
+      .map(e => norm(e.a, e.b)).toSet
+    val salted = DedupPipeline.run(clips, cfg.copy(verifySalts = 3)).edges.collect()
+      .map(e => norm(e.a, e.b)).toSet
+    assert(plain == salted)
+  }
+
   test("resumability: re-run from checkpoints yields identical clusters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val clips = SynthCorpus.generate(spark, 100)
