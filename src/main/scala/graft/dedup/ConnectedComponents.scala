@@ -5,15 +5,66 @@ import org.apache.spark.sql.functions._
 
 final case class ClusterRow(clip_id: String, cluster_id: String)
 
-/** Stage 3 — connected components over the dup-pair graph by iterative
-  * min-label propagation (hash-min) via DataFrame self-joins, with
-  * `localCheckpoint` per iteration to cut lineage and a convergence count.
-  * Dup clusters are near-cliques (every member pairs with most others), so
-  * propagation converges in a handful of iterations; the iteration cap
-  * guards pathological chains. Cluster id = min clip_id in the component. */
+/** Stage 3 — connected components over the dup-pair graph.
+  *
+  * Two paths, mirroring the verify stage's strategy split:
+  *  - **local**: when the edge set fits on the driver (it is orders of
+  *    magnitude smaller than the corpus — only dup pairs), a union-find over
+  *    the collected edges + a broadcast-joined label map. O(E α(E)) and two
+  *    narrow jobs.
+  *  - **distributed**: iterative min-label propagation (hash-min) via
+  *    DataFrame self-joins with `localCheckpoint` per iteration and a
+  *    convergence count — the 10^12-row path. Dup clusters are near-cliques,
+  *    so propagation converges in a handful of iterations; the cap guards
+  *    pathological chains.
+  *
+  * Cluster id = min clip_id in the component either way.
+  */
 object ConnectedComponents {
 
-  def apply(edges: Dataset[Edge], allIds: DataFrame, maxIterations: Int): Dataset[ClusterRow] = {
+  def apply(
+      edges: Dataset[Edge],
+      allIds: DataFrame,
+      maxIterations: Int,
+      localEdgeCap: Long = 10000000L): Dataset[ClusterRow] = {
+    val nEdges = edges.count()
+    if (nEdges <= localEdgeCap) local(edges, allIds)
+    else distributed(edges, allIds, maxIterations)
+  }
+
+  /** Driver union-find over the (small) edge list, labels broadcast back. */
+  def local(edges: Dataset[Edge], allIds: DataFrame): Dataset[ClusterRow] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = edges.select("a", "b").as[(String, String)].collect()
+
+    val parent = new java.util.HashMap[String, String]()
+    def find(x0: String): String = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+      // path compression
+      var y = x0
+      while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val labels = new java.util.HashMap[String, String]()
+    pairs.foreach { case (a, b) =>
+      labels.put(a, find(a)); labels.put(b, find(b))
+    }
+    val bc = spark.sparkContext.broadcast(labels)
+    allIds.select(col("clip_id")).as[String].mapPartitions { it =>
+      val m = bc.value
+      it.map(id => ClusterRow(id, m.getOrDefault(id, id)))
+    }
+  }
+
+  /** Iterative hash-min label propagation (the beyond-driver path). */
+  def distributed(edges: Dataset[Edge], allIds: DataFrame, maxIterations: Int): Dataset[ClusterRow] = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -32,13 +83,15 @@ object ConnectedComponents {
       val msgs = sym.join(labels, sym("src") === labels("v"))
         .groupBy($"dst")
         .agg(min($"label").as("nbr_min"))
+      // materialize ONCE (join runs once), then derive both next-labels and
+      // the convergence count from the checkpointed frame
       val updated = labels.join(msgs, labels("v") === msgs("dst"), "left")
         .select(labels("v"),
-                labels("label"),
-                least(labels("label"), coalesce($"nbr_min", labels("label"))).as("next"))
-      val next = updated.select($"v", $"next".as("label")).localCheckpoint()
-      changed = updated.filter($"next" =!= $"label").count()
-      labels = next
+                labels("label").as("old"),
+                least(labels("label"), coalesce($"nbr_min", labels("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.filter($"label" =!= $"old").count()
+      labels = updated.select($"v", $"label")
       iter += 1
     }
 

@@ -41,6 +41,12 @@ final case class DedupConfig(
     /** rows with fewer tokens than shingleK are broadcast and matched by
       * containment (reference unigram/short-pattern semantics). */
     tinyPatternBroadcastCap: Int = 100000,
+    /** verify strategy: "auto" broadcasts the whole tokenized corpus (the
+      * reference's shared-read-only-index architecture, recall-exact) when it
+      * fits under broadcastMaxRows, else runs the three-stage LSH pipeline;
+      * "broadcast" / "shuffle" force a path. */
+    strategy: String = "auto",
+    broadcastMaxRows: Long = 2000000L,
     // --- execution ---
     /** verify-stage skew valve: split each pattern's candidate list across
       * this many salted sub-groups (decisions are per-candidate independent
@@ -48,4 +54,7 @@ final case class DedupConfig(
     verifySalts: Int = 1,
     shufflePartitions: Int = 32,
     ccMaxIterations: Int = 50,
+    /** edge count under which connected components run as a driver
+      * union-find + broadcast label map (edges ≪ corpus: dup pairs only). */
+    ccLocalEdgeCap: Long = 10000000L,
     seed: Long = 42L)

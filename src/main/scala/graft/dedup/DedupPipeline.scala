@@ -84,31 +84,55 @@ object DedupPipeline {
       .persist()
     val nToks = timed("tokenize", nClips)(toks.count())
 
-    // Stage 1b: signatures (narrow) — only materialized when the LSH channel is on
-    lazy val sigs = checkpointed("signatures", SignatureStage(toks, cfg))(_.as[SigRow])
+    val useBroadcast = cfg.strategy match {
+      case "broadcast" => true
+      case "shuffle" => false
+      case _ => nToks <= cfg.broadcastMaxRows
+    }
 
-    // Stage 2a: candidates
-    val sc = spark.sparkContext
-    val cappedShingleBuckets = sc.longAccumulator("cappedShingleBuckets")
-    val cappedShinglePairs = sc.longAccumulator("cappedShinglePairsLost")
-    val cappedBandBuckets = sc.longAccumulator("cappedBandBuckets")
-    val cands = checkpointed("candidates",
-      CandidateStage(toks, sigs, cfg, cappedShingleBuckets, cappedShinglePairs, cappedBandBuckets))(_.as[CandPair])
-      .persist()
-    val nCands = timed("candidates", nToks, Map(
-      "capped_shingle_buckets" -> cappedShingleBuckets.value.toString,
-      "capped_shingle_pairs_lost" -> cappedShinglePairs.value.toString,
-      "capped_band_buckets" -> cappedBandBuckets.value.toString))(cands.count())
-
-    // Stage 2b: verify
-    val edges = checkpointed("edges", VerifyStage(toks, cands, cfg))(_.as[Edge]).persist()
-    val nEdges = timed("verify", nCands)(edges.count())
+    var edgesV: Dataset[Edge] = null
+    val edges =
+      if (useBroadcast) {
+        // fast path: global shared read-only index (reference architecture),
+        // candidate recall exact by construction — no LSH stage needed
+        timed("verify", nToks, Map("strategy" -> "broadcast")) {
+          edgesV = checkpointed("edges", BroadcastVerifyStage(toks, cfg))(_.as[Edge]).persist()
+          edgesV.count()
+        }
+        edgesV
+      } else {
+        // beyond-memory path: signatures → LSH/shingle candidates → verify
+        lazy val sigs = checkpointed("signatures", SignatureStage(toks, cfg))(_.as[SigRow])
+        val sc = spark.sparkContext
+        val cappedShingleBuckets = sc.longAccumulator("cappedShingleBuckets")
+        val cappedShinglePairs = sc.longAccumulator("cappedShinglePairsLost")
+        val cappedBandBuckets = sc.longAccumulator("cappedBandBuckets")
+        val cands = checkpointed("candidates",
+          CandidateStage(toks, sigs, cfg, cappedShingleBuckets, cappedShinglePairs, cappedBandBuckets))(_.as[CandPair])
+          .persist()
+        val nCands = timed("candidates", nToks, Map(
+          "strategy" -> "shuffle",
+          "capped_shingle_buckets" -> cappedShingleBuckets.value.toString,
+          "capped_shingle_pairs_lost" -> cappedShinglePairs.value.toString,
+          "capped_band_buckets" -> cappedBandBuckets.value.toString))(cands.count())
+        timed("verify", nCands) {
+          edgesV = checkpointed("edges", VerifyStage(toks, cands, cfg))(_.as[Edge]).persist()
+          edgesV.count()
+        }
+        cands.unpersist()
+        edgesV
+      }
+    val nEdges = edges.count()
 
     // Stage 3: connected components
-    val clusters = checkpointed("clusters",
-      ConnectedComponents(edges, toks.select($"clip_id").toDF(), cfg.ccMaxIterations))(_.as[ClusterRow])
-      .persist()
-    timed("cluster", nEdges)(clusters.count())
+    var clusters: Dataset[ClusterRow] = null
+    timed("cluster", nEdges) {
+      clusters = checkpointed("clusters",
+        ConnectedComponents(edges, toks.select($"clip_id").toDF(), cfg.ccMaxIterations,
+          cfg.ccLocalEdgeCap))(_.as[ClusterRow])
+        .persist()
+      clusters.count()
+    }
 
     checkpointDir.foreach { dir =>
       // per-partition lineage rows alongside the stage-level metrics
@@ -116,7 +140,6 @@ object DedupPipeline {
       metrics ++= Metrics.perPartition("edges", edges)
       metrics.toSeq.toDS().write.mode(SaveMode.Overwrite).parquet(stagePath(dir, "metrics"))
     }
-    cands.unpersist()
     DedupResult(clusters, edges, metrics.toSeq)
   }
 }

@@ -161,21 +161,28 @@ object Queries {
         "i -> cast(ascii(substring(text, i, 1)) as bigint)), cast(0 as bigint), " +
         "(acc, c) -> (acc * 31 + c) % 2147483647)").as("fp"))
 
-  /** N-gram Jaccard near-dup pairs (same-lang, distinct 3-gram shingles). */
+  /** N-gram Jaccard near-dup pairs (same-lang, distinct 3-gram shingles).
+    * Scalable formulation: inverted shingle index join + per-pair overlap
+    * count (never materializes the all-pairs cross product — pairs with no
+    * shared shingle have J = 0 and can't clear the threshold). */
   def qJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
       .withColumn("tk", toks(col("text")))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), col("lang"), array_distinct(expr(
-        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', slice(tk, i + 1, 3)))"))
+      .select(col("doc_id"), col("lang"), explode(array_distinct(expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', slice(tk, i + 1, 3)))")))
         .as("sh"))
-    val a = d.toDF("a_id", "lang", "a_sh")
-    val b = d.toDF("b_id", "lang", "b_sh")
-    a.join(b, "lang")
+    val sizes = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = d.toDF("a_id", "lang", "sh")
+    val b = d.toDF("b_id", "lang", "sh")
+    a.join(b, Seq("lang", "sh"))
       .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.toDF("a_id", "a_n"), "a_id")
+      .join(sizes.toDF("b_id", "b_n"), "b_id")
       .withColumn("jac", round(
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-        size(array_union(col("a_sh"), col("b_sh"))), 4))
+        col("common").cast("double") / (col("a_n") + col("b_n") - col("common")), 4))
       .filter(col("jac") >= 0.2)
       .select("a_id", "b_id", "jac")
   }

@@ -24,11 +24,16 @@ object ScalingBench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     clips.count() // materialize outside the timed window
 
+    // the shuffle (LSH) strategy is the representative beyond-memory path —
+    // the broadcast fast path has a deliberate serial index-build component
+    val cfg = DedupConfig(strategy = sys.env.getOrElse("SPARK_GRAFT_STRATEGY", "shuffle"),
+      shufflePartitions = cpus)
+
     // warm JIT/codegen with a small throwaway run
-    DedupPipeline.run(SynthCorpus.generate(spark, 800, partitions = 8), DedupConfig())
+    DedupPipeline.run(SynthCorpus.generate(spark, 800, partitions = 8), cfg)
 
     val t0 = System.nanoTime()
-    val out = DedupPipeline.run(clips, DedupConfig(shufflePartitions = cpus))
+    val out = DedupPipeline.run(clips, cfg)
     val n = out.clusters.count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""SCALING {"cpus":$cpus,"clips":$nClips,"rows_out":$n,"sec":$sec%.2f,"clips_per_sec":${nClips / sec}%.1f}""")

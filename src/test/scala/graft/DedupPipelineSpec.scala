@@ -38,11 +38,19 @@ class DedupPipelineSpec extends AnyFunSuite {
 
   private lazy val result: DedupResult = {
     val clips = SynthCorpus.generate(spark, nRows)
-    DedupPipeline.run(clips, cfg)
+    DedupPipeline.run(clips, cfg.copy(strategy = "shuffle"))
   }
 
   private lazy val pipelinePairs: Set[(String, String)] =
     result.edges.collect().map(e => norm(e.a, e.b)).toSet
+
+  test("broadcast strategy produces the identical edge set as the LSH pipeline") {
+    val clips = SynthCorpus.generate(spark, nRows)
+    val bPairs = DedupPipeline.run(clips, cfg.copy(strategy = "broadcast"))
+      .edges.collect().map(e => norm(e.a, e.b)).toSet
+    assert(bPairs == pipelinePairs)
+    assert(bPairs == oracle, "broadcast path must equal oracle decisions exactly")
+  }
 
   test("oracle finds a meaningful dup-pair set on the synthetic corpus") {
     assert(oracle.size > nRows / 4, s"only ${oracle.size} oracle pairs — corpus too easy/hard")
@@ -100,7 +108,8 @@ class DedupPipelineSpec extends AnyFunSuite {
 
   test("recall >= 0.99 holds when hot-shingle caps actually trigger (scale config)") {
     val n = 2400
-    val scaleCfg = cfg.copy(shingleDfCap = 24, bandDfCap = 96, useMinhashChannel = true)
+    val scaleCfg = cfg.copy(strategy = "shuffle", shingleDfCap = 24, bandDfCap = 96,
+      useMinhashChannel = true)
     val r = DedupPipeline.run(SynthCorpus.generate(spark, n), scaleCfg)
     val capped = r.metrics.find(_.stage == "candidates").get.extra("capped_shingle_buckets").toLong
     assert(capped > 0, "test corpus never triggered the cap — not exercising the scale path")
@@ -112,12 +121,23 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"capped run emitted ${extra.size} non-oracle pairs")
   }
 
+  test("distributed hash-min CC equals the driver union-find CC") {
+    import spark.implicits._
+    val local = graft.dedup.ConnectedComponents
+      .local(result.edges, result.clusters.select("clip_id").toDF())
+      .collect().map(r => (r.clip_id, r.cluster_id)).sorted
+    val dist = graft.dedup.ConnectedComponents
+      .distributed(result.edges, result.clusters.select("clip_id").toDF(), 50)
+      .collect().map(r => (r.clip_id, r.cluster_id)).sorted
+    assert(local.sameElements(dist))
+  }
+
   test("verify-stage salting leaves the edge set unchanged") {
     val clips = SynthCorpus.generate(spark, 240)
-    val plain = DedupPipeline.run(clips, cfg).edges.collect()
+    val plain = DedupPipeline.run(clips, cfg.copy(strategy = "shuffle")).edges.collect()
       .map(e => norm(e.a, e.b)).toSet
-    val salted = DedupPipeline.run(clips, cfg.copy(verifySalts = 3)).edges.collect()
-      .map(e => norm(e.a, e.b)).toSet
+    val salted = DedupPipeline.run(clips, cfg.copy(strategy = "shuffle", verifySalts = 3))
+      .edges.collect().map(e => norm(e.a, e.b)).toSet
     assert(plain == salted)
   }
 
