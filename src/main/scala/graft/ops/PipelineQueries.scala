@@ -23,8 +23,9 @@ object PipelineQueries {
       .map { case (id, text) => Clip(id, wav, 16000, 1, "pcm_s16le", text) }
   }
 
-  /** MinHash + SimHash signatures over documents (stage-1 operator). */
-  def qMinhashSigs(spark: SparkSession, dir: String): DataFrame = {
+  /** MinHash + SimHash signatures over documents (stage-1 operator): internal
+    * wide form with the full band-hash array per doc. */
+  private def minhashSigsWide(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
@@ -38,14 +39,32 @@ object PipelineQueries {
       .toDF("doc_id", "n_tokens", "band_hashes", "simhash")
   }
 
-  /** SimHash near-dup pairs: bucket by 16-bit chunks (any pair within
-    * hamming distance 3×16 shares ≥1 chunk), verify hamming ≤ 6. */
+  /** MinHash band signatures, exploded to scalar columns
+    * (doc_id, n_tokens, band, band_hash) so downstream tooling can sort/hash
+    * rows (array columns are opaque to the driver's comparator). */
+  def qMinhashSigs(spark: SparkSession, dir: String): DataFrame =
+    minhashSigsWide(spark, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(col("band_hashes")).as(Seq("band", "band_hash")))
+      .select(col("doc_id"), col("n_tokens"),
+        col("band").cast("bigint").as("band"), col("band_hash"))
+
+  /** SimHash near-dup pairs: bucket by 7 disjoint bit-chunks (10+6×9 bits).
+    * Pigeonhole: a pair with hamming distance ≤ 6 differs in ≤ 6 chunks, so
+    * at least one of the 7 chunks is identical on both sides and the pair
+    * meets in that chunk's bucket — full recall at the hamming ≤ 6 verify. */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = qMinhashSigs(spark, dir).select("doc_id", "simhash")
+    val sigs = minhashSigsWide(spark, dir).select("doc_id", "simhash")
       .as[(String, Long)]
+    // chunk c covers bits [offsets(c), offsets(c+1)); 7 chunks tile all 64
+    val offsets = Array(0, 10, 19, 28, 37, 46, 55, 64)
     val buckets = sigs.flatMap { case (id, sh) =>
-      (0 until 4).map(c => (((sh >>> (16 * c)) & 0xffffL) | (c.toLong << 32), id, sh))
+      (0 until 7).map { c =>
+        val width = offsets(c + 1) - offsets(c)
+        val chunk = (sh >>> offsets(c)) & ((1L << width) - 1)
+        (chunk | (c.toLong << 32), id, sh)
+      }
     }.toDF("bucket", "doc_id", "simhash")
     val a = buckets.toDF("bucket", "a_id", "a_sh")
     val b = buckets.toDF("bucket", "b_id", "b_sh")
@@ -100,33 +119,11 @@ object PipelineQueries {
     DedupPipeline.run(documentsAsClips(spark, dir), cfg).clusters.toDF()
   }
 
-  /** Short-in-long containment (the reference subsequence dup class J4): all
-    * (short doc, containing doc) pairs for docs of ≤ 4 tokens. */
-  def qSubseqContained(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val toksDs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
-      .map { case (id, text) =>
-        val ts = Tokenizer.tokenize(text, PT.default)
-        (id, Hashing.tokenIds(ts.norm))
-      }
-    val tiny = toksDs.filter(_._2.length <= 4).collect()
-    val bc = spark.sparkContext.broadcast(tiny)
-    toksDs.flatMap { case (id, ids) =>
-      bc.value.iterator
-        .filter { case (tid, tids) =>
-          tid != id && tids.nonEmpty &&
-          CandidateStage.containsSubsequence(ids, tids) }
-        .map { case (tid, _) => (tid, id) }
-    }.toDF("short_id", "container_id")
-  }
-
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_sigs" -> (qMinhashSigs _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
-    "q_subseq_contained" -> (qSubseqContained _),
     "q_audio_meta" -> (AudioOps.qAudioMeta _),
     "q_audio_energy" -> (AudioOps.qAudioEnergy _)
   )

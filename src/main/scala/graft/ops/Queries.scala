@@ -82,14 +82,17 @@ object Queries {
       .agg(count(lit(1)).as("df"))
   }
 
-  /** IDF penalty vector (A4 — /root/reference/src/fuzzy_match.cc:367-390). */
+  /** IDF penalty vector (A4 — /root/reference/src/fuzzy_match.cc:367-390).
+    * The corpus size N is folded in as a broadcast cross-joined 1-row agg
+    * (one job, no separate driver-side count() scan). */
   def qIdf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val n = docs.count().toDouble
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     docs.select(explode(array_distinct(toks(col("text")))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("df"))
-      .select(col("token"), col("df"), round(log(lit(n) / col("df")), 4).as("idf"))
+      .crossJoin(broadcast(n))
+      .select(col("token"), col("df"), round(log(col("n_docs") / col("df")), 4).as("idf"))
   }
 
   /** Token counting (P3 length basis). */
@@ -181,10 +184,36 @@ object Queries {
       .agg(count(lit(1)).as("common"))
       .join(sizes.toDF("a_id", "a_n"), "a_id")
       .join(sizes.toDF("b_id", "b_n"), "b_id")
-      .withColumn("jac", round(
-        col("common").cast("double") / (col("a_n") + col("b_n") - col("common")), 4))
-      .filter(col("jac") >= 0.2)
-      .select("a_id", "b_id", "jac")
+      .withColumn("jac_raw",
+        col("common").cast("double") / (col("a_n") + col("b_n") - col("common")))
+      // threshold on the UNROUNDED value (same predicate as the DuckDB oracle;
+      // rounding-first could admit jac ∈ [0.19995, 0.2) that the oracle rejects)
+      .filter(col("jac_raw") >= 0.2)
+      .select(col("a_id"), col("b_id"), round(col("jac_raw"), 4).as("jac"))
+  }
+
+  /** Short-pattern containment (the reference subsequence probe J4,
+    * /root/reference/src/fuzzy_match.cc:250-365, recast relationally): each
+    * document's 6-token prefix is the probe pattern; emit every document that
+    * contains it as a contiguous token run. Scale-safe formulation: candidate
+    * containers come from an inverted index on the pattern's leading 3-gram
+    * shingle (equi-join, mirrors the reference's equal_range seed), then the
+    * full 6-token window is verified positionally — never an all-pairs scan. */
+  def qSubseqContained(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").withColumn("tk", toks(col("text")))
+    val pats = docs.filter(size(col("tk")) >= 6)
+      .select(col("doc_id").as("short_id"),
+        concat_ws(" ", slice(col("tk"), 1, 3)).as("sh"),
+        concat_ws(" ", slice(col("tk"), 1, 6)).as("pat"))
+    val windows = docs.filter(size(col("tk")) >= 3)
+      .select(col("doc_id").as("container_id"), col("tk"),
+        posexplode(expr(
+          "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', slice(tk, i + 1, 3)))"))
+          .as(Seq("pos", "sh")))
+    pats.join(windows, "sh")
+      .filter(concat_ws(" ", expr("slice(tk, pos + 1, 6)")) === col("pat"))
+      .select("short_id", "container_id")
+      .distinct()
   }
 
   // ---------------- similarity search (embeddings) ----------------
@@ -285,6 +314,11 @@ object Queries {
         | FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
         | WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
         |       len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2""".stripMargin,
+    "q_subseq_contained" ->
+      """WITH p AS (SELECT doc_id AS short_id, array_to_string((string_split(text, ' '))[1:6], ' ') AS pat
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 6)
+        | SELECT DISTINCT p.short_id, d.doc_id AS container_id
+        | FROM p JOIN documents d ON instr(' ' || d.text || ' ', ' ' || p.pat || ' ') > 0""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id, round(sqrt(list_reduce(list_prepend(0::DOUBLE,
         |  [x::DOUBLE * x::DOUBLE for x in embedding]), (a, b) -> a + b)), 4) AS l2
@@ -320,6 +354,7 @@ object Queries {
     "q_langid" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
+    "q_subseq_contained" -> (qSubseqContained _),
     "q_embed_norm" -> (qEmbedNorm _),
     "q_ann_topk" -> (qAnnTopk _)
   )
