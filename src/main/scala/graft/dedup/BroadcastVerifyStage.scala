@@ -51,16 +51,21 @@ object BroadcastVerifyStage {
       editCosts = cfg.editCosts,
       maxTokensInPattern = cfg.maxTokensInPattern)
 
+    // with symmetric insert/delete costs the pair decision is direction-free,
+    // so only the canonical shorter-pattern direction is emitted; asymmetric
+    // costs make the DP depend on orientation, so every direction is kept
+    // (a pair is a dup iff EITHER direction clears the threshold — the
+    // oracle's allDupPairs semantics; duplicate edges are harmless to CC)
+    val asym = cfg.editCosts.insert != cfg.editCosts.delete
+
     toks.mapPartitions { it =>
       val (index, docs, rows) = indexFor(bcId, bc.value)
       it.flatMap { p =>
         val pattern = Doc(p.ids, p.reals, p.itoks)
         Matcher.matchPattern(index, docs, pattern, params).iterator.flatMap { m =>
           val s = rows(m.sIdx)
-          // emit only the shorter-pattern direction (the pair decision's
-          // canonical orientation); equal lengths tie-break on id
           val keep = s.clip_id != p.clip_id &&
-            (p.n_tokens < s.n_tokens ||
+            (asym || p.n_tokens < s.n_tokens ||
              (p.n_tokens == s.n_tokens && p.clip_id < s.clip_id))
           if (keep) {
             val kind = if (m.maxSubseq >= p.n_tokens) "substring" else "edit"

@@ -5,11 +5,16 @@ import org.apache.spark.util.LongAccumulator
 import graft.kernel.{Hashing, SuffixIndex}
 
 /** Candidate pair, oriented: `p` is the pattern side — the member with fewer
-  * tokens (tie: lexicographically smaller clip_id). The reference's dup-pair
-  * decision is direction-free given this orientation: the shorter pattern's
+  * tokens (tie: lexicographically smaller clip_id). With the default
+  * SYMMETRIC insert/delete costs the reference's dup-pair decision is
+  * direction-free given this orientation: the shorter pattern's
   * min-subsequence requirement is the laxer of the two
   * (/root/reference/src/fuzzy_match.cc:463-467 is monotone in length), the
-  * DP cost and LCS are symmetric, and the rejection bounds are sound. */
+  * DP cost and LCS are symmetric, and the rejection bounds are sound.
+  * With ASYMMETRIC insert/delete costs the normalizer and P5 window differ
+  * by direction, so VerifyStage additionally verifies the reverse
+  * orientation and the channels pre-reject only when BOTH orientations
+  * reject (see `lengthReject`). */
 final case class CandPair(p: String, c: String)
 
 /** Stage 2a — candidate generation, replacing the reference's global sorted
@@ -36,6 +41,15 @@ object CandidateStage {
   /** Orient a pair (pattern = shorter side). */
   @inline private def orient(id1: String, n1: Int, id2: String, n2: Int): CandPair =
     if (n1 < n2 || (n1 == n2 && id1 <= id2)) CandPair(id1, id2) else CandPair(id2, id1)
+
+  /** P5 length-window rejection, sound in BOTH match orientations: with
+    * asymmetric insert/delete costs the bound depends on which side is the
+    * pattern, so a pair is dropped only when both orientations reject
+    * (collapses to the single check for the default symmetric costs). */
+  @inline def lengthReject(n1: Int, n2: Int, ec: graft.kernel.EditCosts, fuzzy: Float): Boolean =
+    if (ec.insert == ec.delete) SuffixIndex.theoreticalRejection(n1, n2, ec, fuzzy)
+    else SuffixIndex.theoreticalRejection(n1, n2, ec, fuzzy) &&
+      SuffixIndex.theoreticalRejection(n2, n1, ec, fuzzy)
 
   /** Channel A: exact shingle join. */
   def ngramChannel(
@@ -71,7 +85,7 @@ object CandidateStage {
             var inWindow = true
             while (j < members.length && inWindow) {
               // members sorted by length: once the window fails it stays failed
-              if (SuffixIndex.theoreticalRejection(members(i).n_tokens, members(j).n_tokens, ec, fuzzy))
+              if (lengthReject(members(i).n_tokens, members(j).n_tokens, ec, fuzzy))
                 inWindow = false
               else {
                 if (members(i).clip_id != members(j).clip_id)
@@ -114,7 +128,7 @@ object CandidateStage {
             var j = i + 1
             var inWindow = true
             while (j < members.length && inWindow) {
-              if (SuffixIndex.theoreticalRejection(members(i).n_tokens, members(j).n_tokens, ec, fuzzy))
+              if (lengthReject(members(i).n_tokens, members(j).n_tokens, ec, fuzzy))
                 inWindow = false
               else {
                 if (members(i).clip_id != members(j).clip_id)
@@ -157,7 +171,7 @@ object CandidateStage {
       while (t < tinies.length) {
         val (tid, tids, tn) = tinies(t)
         if (tid != row.clip_id &&
-            !SuffixIndex.theoreticalRejection(tn, row.n_tokens, ec, fuzzy) &&
+            !lengthReject(tn, row.n_tokens, ec, fuzzy) &&
             containsSubsequence(row.ids, tids))
           out += orient(tid, tn, row.clip_id, row.n_tokens)
         t += 1

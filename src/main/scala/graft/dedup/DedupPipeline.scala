@@ -64,7 +64,10 @@ object DedupPipeline {
       rowsOut
     }
 
-    /** compute-or-restore a stage checkpoint. */
+    /** compute-or-restore a stage checkpoint; restored stages are tracked so
+      * metrics can say "restored" instead of reporting accumulators that
+      * never ran (a resumed run would otherwise falsely report zero capping). */
+    val restoredStages = scala.collection.mutable.Set.empty[String]
     def checkpointed[T](name: String, compute: => Dataset[T])(
         read: DataFrame => Dataset[T]): Dataset[T] = {
       checkpointDir match {
@@ -72,6 +75,7 @@ object DedupPipeline {
           val path = stagePath(dir, name)
           if (!exists(spark, path))
             compute.write.mode(SaveMode.Overwrite).parquet(path)
+          else restoredStages += name
           read(spark.read.parquet(path))
         case None => compute
       }
@@ -95,7 +99,8 @@ object DedupPipeline {
       if (useBroadcast) {
         // fast path: global shared read-only index (reference architecture),
         // candidate recall exact by construction — no LSH stage needed
-        timed("verify", nToks, Map("strategy" -> "broadcast")) {
+        timed("verify", nToks, Map("strategy" -> "broadcast") ++
+            (if (restoredStages("edges")) Map("restored" -> "true") else Map.empty)) {
           edgesV = checkpointed("edges", BroadcastVerifyStage(toks, cfg))(_.as[Edge]).persist()
           edgesV.count()
         }
@@ -110,12 +115,19 @@ object DedupPipeline {
         val cands = checkpointed("candidates",
           CandidateStage(toks, sigs, cfg, cappedShingleBuckets, cappedShinglePairs, cappedBandBuckets))(_.as[CandPair])
           .persist()
-        val nCands = timed("candidates", nToks, Map(
-          "strategy" -> "shuffle",
-          "capped_shingle_buckets" -> cappedShingleBuckets.value.toString,
-          "capped_shingle_pairs_lost" -> cappedShinglePairs.value.toString,
-          "capped_band_buckets" -> cappedBandBuckets.value.toString))(cands.count())
-        timed("verify", nCands) {
+        val nCands = timed("candidates", nToks, {
+          if (restoredStages("candidates"))
+            // stage read back from checkpoint: the capping accumulators never
+            // ran, so report the restore instead of phantom zero-cap values
+            Map("strategy" -> "shuffle", "restored" -> "true")
+          else Map(
+            "strategy" -> "shuffle",
+            "capped_shingle_buckets" -> cappedShingleBuckets.value.toString,
+            "capped_shingle_pairs_lost" -> cappedShinglePairs.value.toString,
+            "capped_band_buckets" -> cappedBandBuckets.value.toString)
+        })(cands.count())
+        timed("verify", nCands,
+          if (restoredStages("edges")) Map("restored" -> "true") else Map.empty) {
           edgesV = checkpointed("edges", VerifyStage(toks, cands, cfg))(_.as[Edge]).persist()
           edgesV.count()
         }

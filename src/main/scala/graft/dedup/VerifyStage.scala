@@ -35,12 +35,20 @@ object VerifyStage {
       editCosts = cfg.editCosts,
       maxTokensInPattern = cfg.maxTokensInPattern)
 
+    // with asymmetric insert/delete costs the DP score depends on which side
+    // is the pattern, so the oriented candidate set must be verified in both
+    // directions (pair is a dup iff EITHER direction clears the threshold —
+    // the oracle's allDupPairs semantics); symmetric costs need one direction
+    val asym = cfg.editCosts.insert != cfg.editCosts.delete
+    val orientedCands =
+      if (asym) cands.union(cands.map(cp => CandPair(cp.c, cp.p))) else cands
+
     // salt the group key: with numberOfMatches=0 every candidate's decision
     // is independent, so a hot pattern's candidate list can split across
     // salted sub-groups without changing the emitted edge set — this is the
     // skew valve for patterns that land in thousands of buckets
     val salts = math.max(1, cfg.verifySalts)
-    val candToks = cands
+    val candToks = orientedCands
       .joinWith(toks, cands("c") === toks("clip_id"))
       .map { case (cp, t) =>
         val salt =

@@ -141,6 +141,43 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("asymmetric insert/delete costs: both strategies still match the oracle") {
+    // asymmetric costs make the DP + P5 window direction-dependent; the
+    // pipeline must verify both orientations to keep oracle parity
+    val asymCfg = cfg.copy(editCosts = graft.kernel.EditCosts(insert = 1f, delete = 2f, replace = 1f),
+      threshold = 0.7f)
+    val n = 240
+    val want = {
+      val fm = new FuzzyMatcher(asymCfg.pt, asymCfg.maxTokensInPattern)
+      SynthCorpus.transcripts(n).foreach { case (id, t) => fm.addTm(id, t) }
+      fm.allDupPairs(Matcher.Params(
+        fuzzy = asymCfg.threshold,
+        minSubseqLength = asymCfg.minSubseqLength,
+        minSubseqRatio = asymCfg.minSubseqRatio,
+        editCosts = asymCfg.editCosts,
+        maxTokensInPattern = asymCfg.maxTokensInPattern))
+    }
+    assert(want.nonEmpty, "asym corpus produced no oracle pairs — test is vacuous")
+    val clips = SynthCorpus.generate(spark, n)
+    for (strategy <- Seq("broadcast", "shuffle")) {
+      val got = DedupPipeline.run(clips, asymCfg.copy(strategy = strategy))
+        .edges.collect().map(e => norm(e.a, e.b)).toSet
+      assert(got == want, s"$strategy: ${(want -- got).size} missed, ${(got -- want).size} extra")
+    }
+  }
+
+  test("resumed runs report a 'restored' marker instead of phantom zero-cap metrics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-restore").toString
+    val clips = SynthCorpus.generate(spark, 100)
+    val shuffleCfg = cfg.copy(strategy = "shuffle")
+    DedupPipeline.run(clips, shuffleCfg, Some(dir))
+    val r2 = DedupPipeline.run(clips, shuffleCfg, Some(dir))
+    val candMetric = r2.metrics.find(_.stage == "candidates").get
+    assert(candMetric.extra.get("restored").contains("true"))
+    assert(!candMetric.extra.contains("capped_shingle_buckets"))
+    assert(r2.metrics.find(_.stage == "verify").get.extra.get("restored").contains("true"))
+  }
+
   test("resumability: re-run from checkpoints yields identical clusters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val clips = SynthCorpus.generate(spark, 100)
