@@ -35,6 +35,25 @@ final class VocabIndexer {
     tokens.map(t => form2index.getOrElse(t, VocabUnk))
 
   def sfreq(id: Long): Int = sfreqBuf(id.toInt)
+
+  /** (form, sfreq) in id order — the serialization image
+    * (/root/reference/include/fuzzy/vocab_indexer.hh serializes forms+sfreq). */
+  def dump: Array[(String, Int)] = {
+    val out = new Array[(String, Int)](sfreqBuf.length)
+    form2index.foreach { case (f, id) => out(id.toInt) = (f, sfreqBuf(id.toInt)) }
+    out
+  }
+
+  /** Rebuild from a `dump` image (ids are positional). */
+  def restore(entries: Array[(String, Int)]): Unit = {
+    form2index.clear(); sfreqBuf.clear()
+    var id = 0
+    while (id < entries.length) {
+      form2index(entries(id)._1) = id.toLong
+      sfreqBuf += entries(id)._2
+      id += 1
+    }
+  }
 }
 
 /** Single-node oracle matcher — the exact reference-semantics referee the
@@ -54,6 +73,9 @@ final class FuzzyMatcher(pt: Int = PT.default, maxTokensInPattern: Int = 300) {
 
   def tokenize(sentence: String): TokSent = Tokenizer.tokenize(sentence, pt)
 
+  /** Dictionary-encode a sentence with this matcher's vocab (unknown → UNK). */
+  def encode(sentence: String): Array[Long] = vocab.getIndex(tokenize(sentence).norm)
+
   /** Index a sentence; empty or overlong normalized forms are dropped like
     * the reference (/root/reference/src/fuzzy_match.cc:213-224,
     * /root/reference/src/suffix_array_index.cc:16). */
@@ -69,6 +91,15 @@ final class FuzzyMatcher(pt: Int = PT.default, maxTokensInPattern: Int = 300) {
   }
 
   def sort(): Unit = index.sort()
+
+  /** Re-insert an already-encoded sentence (deserialization path only —
+    * vocab must have been restored first so ids stay consistent). */
+  private def restoreSentence(
+      id: String, ids: Array[Long], reals: Array[String], itoks: Array[String]): Unit = {
+    index.add(ids)
+    docsBuf += Doc(ids, reals, itoks)
+    idsBuf += id
+  }
 
   /** IDF penalty vector A4 (/root/reference/src/fuzzy_match.cc:367-390). */
   def idfPenalty(patternIds: Array[Long], unknownPenalty: Float = 0f): Array[Float] = {
@@ -96,14 +127,16 @@ final class FuzzyMatcher(pt: Int = PT.default, maxTokensInPattern: Int = 300) {
   }
 
   /** Best-subsequence retrieval (reference `FuzzyMatch::subsequence`,
-    * /root/reference/src/fuzzy_match.cc:250-365). */
+    * /root/reference/src/fuzzy_match.cc:250-365). The returned 4th element is
+    * the detokenized surface string of the matched pattern span — the
+    * reference appends it to the result id (F8, fuzzy_match.cc:341-348). */
   def subsequence(
       sentence: String,
       numberOfMatches: Int,
       noPerfect: Boolean = false,
       minSubseqLength: Int = 3,
       minSubseqRatio: Float = 0.3f,
-      idfWeighting: Boolean = false): Option[(MatchResult, Int, Int)] = {
+      idfWeighting: Boolean = false): Option[(MatchResult, Int, Int, String)] = {
     val ts = tokenize(sentence)
     if (ts.norm.isEmpty) return None
     val pids = vocab.getIndex(ts.norm)
@@ -111,6 +144,7 @@ final class FuzzyMatcher(pt: Int = PT.default, maxTokensInPattern: Int = 300) {
     val idf = idfPenalty(pids, unknownPenalty = -1f)
     Matcher.subsequence(index, docsBuf, pattern, numberOfMatches, noPerfect,
       minSubseqLength, minSubseqRatio, idfWeighting, idf)
+      .map { case (m, pos, len) => (m, pos, len, ts.detokenize(pos, len)) }
   }
 
   /** All dup-pair decisions at the given params: pair (i, j) is a duplicate
@@ -132,4 +166,75 @@ final class FuzzyMatcher(pt: Int = PT.default, maxTokensInPattern: Int = 300) {
     }
     pairs.toSet
   }
+
+  /** Serialize the matcher to a binary file (vocab + sentences + external
+    * ids) — the S2/S3 analog of the reference's FMI export/import
+    * (/root/reference/src/fuzzy_matcher_binarization.cc:16-51). The suffix
+    * array is rebuilt + re-sorted on load, like the reference rebuilds its
+    * _sentence_length sidecar. */
+  def save(path: String): Unit = {
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path)))
+    try {
+      out.writeBytes("GFM1")
+      out.writeInt(pt)
+      out.writeInt(maxTokensInPattern)
+      def writeStr(s: String): Unit = {
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(b.length); out.write(b)
+      }
+      val ventries = vocab.dump
+      out.writeInt(ventries.length)
+      ventries.foreach { case (f, sf) => writeStr(f); out.writeInt(sf) }
+      out.writeInt(docsBuf.length)
+      var i = 0
+      while (i < docsBuf.length) {
+        val d = docsBuf(i)
+        writeStr(idsBuf(i))
+        out.writeInt(d.ids.length); d.ids.foreach(out.writeLong)
+        d.reals.foreach(writeStr)
+        out.writeInt(d.itoks.length); d.itoks.foreach(writeStr)
+        i += 1
+      }
+    } finally out.close()
+  }
 }
+
+object FuzzyMatcher {
+  /** Reload a matcher written by `save`; throws on bad magic (mirrors the
+    * reference's FMI header check, fuzzy_matcher_binarization.cc:36-40). */
+  def load(path: String): FuzzyMatcher = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(path)))
+    try {
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(new String(magic, java.nio.charset.StandardCharsets.US_ASCII) == "GFM1",
+        s"$path is not a GFM1 matcher file")
+      val pt = in.readInt()
+      val maxTok = in.readInt()
+      def readStr(): String = {
+        val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b)
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      }
+      val fm = new FuzzyMatcher(pt, maxTok)
+      val nv = in.readInt()
+      fm.vocab.restore(Array.fill(nv)((readStr(), in.readInt())))
+      val nd = in.readInt()
+      var i = 0
+      while (i < nd) {
+        val id = readStr()
+        val nIds = in.readInt()
+        val ids = Array.fill(nIds)(in.readLong())
+        val reals = Array.fill(nIds)(readStr())
+        val nIt = in.readInt()
+        val itoks = Array.fill(nIt)(readStr())
+        fm.restoreSentence(id, ids, reals, itoks)
+        i += 1
+      }
+      fm.sort()
+      fm
+    } finally in.close()
+  }
+}
+

@@ -25,10 +25,39 @@ object PT {
   *           (/root/reference/src/fuzzy_match.cc:131-134),
   * `itoks` — penalty-token text preceding real token i; length norm.length+1,
   *           "" where absent; index norm.length = trailing
-  *           (/root/reference/include/fuzzy/sentence.hh:24-48).
+  *           (/root/reference/include/fuzzy/sentence.hh:24-48),
+  * `raw`   — the original (pre-normalization) tokens with their
+  *           space-before flags (`rawSpace`), and `mapTokens` mapping norm
+  *           position p → raw index after norm token p−1's raw token
+  *           (length nTokens+1, mapTokens(0)=0), mirroring the reference's
+  *           map_tokens (/root/reference/src/fuzzy_match.cc:121-143) — the
+  *           basis for detokenizing a matched span (F8).
   */
-final case class TokSent(norm: Array[String], real: Array[String], itoks: Array[String]) {
+final case class TokSent(
+    norm: Array[String],
+    real: Array[String],
+    itoks: Array[String],
+    raw: Array[String],
+    rawSpace: Array[Boolean],
+    mapTokens: Array[Int]) {
   def nTokens: Int = norm.length
+
+  /** Surface string of the normalized span [pos, pos+len): the original raw
+    * tokens between the span's raw boundaries, joined with their original
+    * spacing — the reference's subsequence detokenization
+    * (/root/reference/src/fuzzy_match.cc:341-348). */
+  def detokenize(pos: Int, len: Int): String = {
+    val from = mapTokens(pos)
+    val until = mapTokens(pos + len)
+    val sb = new java.lang.StringBuilder
+    var k = from
+    while (k < until) {
+      if (k > from && rawSpace(k)) sb.append(' ')
+      sb.append(raw(k))
+      k += 1
+    }
+    sb.toString
+  }
 }
 
 /** Deterministic NFC + aggressive tokenizer + penalty-flag normalization.
@@ -171,53 +200,50 @@ object Tokenizer {
     val nfc = Normalizer.normalize(sentence, Normalizer.Form.NFC)
     val raws = rawTokenize(nfc)
 
-    // expand with spacer/joiner pseudo-tokens per flags
-    val withMarks = new scala.collection.mutable.ArrayBuffer[String](raws.length * 2)
-    var k = 0
-    while (k < raws.length) {
-      val r = raws(k)
-      if ((pt & PT.jnr) != 0) {
-        if (k > 0 && !r.spaceBefore) withMarks += JoinerTok
-      } else if ((pt & PT.sep) != 0) {
-        if (k > 0 && r.spaceBefore) withMarks += SpacerTok
-      }
-      withMarks += r.text
-      k += 1
-    }
-
     val norm = new scala.collection.mutable.ArrayBuffer[String]
     val real = new scala.collection.mutable.ArrayBuffer[String]
+    val mapTok = new scala.collection.mutable.ArrayBuffer[Int]
+    mapTok += 0
     val itoks = new scala.collection.mutable.HashMap[Int, StringBuilder]
     def addItok(idx: Int, s: String): Unit =
       itoks.getOrElseUpdate(idx, new StringBuilder).append(s)
 
-    for (tok <- withMarks) {
-      val realI = norm.length
-      if (tok == SpacerTok || tok == JoinerTok) {
-        addItok(realI, " ")
-      } else {
-        val feat = if ((pt & PT.cas) != 0) caseFeature(tok) else "N"
-        if ((pt & PT.cas) != 0 && feat != "N") {
-          norm += lowerCase(tok)
-          real += feat
-        } else if (isPlaceholder(tok)) {
-          val ent = placeholderEntity(tok)
-          if (ent == "it" && (pt & PT.tag) != 0) addItok(realI, "T")
-          else { norm += (PhOpen.toString + ent + PhClose); real += tok }
-        } else {
-          val cp = if (tok.isEmpty) ' '.toInt else tok.codePointAt(0)
-          if (Character.isDigit(cp)) {
-            if ((pt & PT.nbr) != 0) { norm += (PhOpen + "num" + PhClose); real += tok }
-            else { norm += tok; real += tok }
-          } else if (!Character.isLetter(cp) && (pt & PT.pct) != 0) {
-            addItok(realI, tok)
-          } else { norm += tok; real += tok }
-        }
+    var k = 0
+    while (k < raws.length) {
+      val r = raws(k)
+      // spacer/joiner pseudo-tokens become " " itoks (sep/jnr penalty modes)
+      if ((pt & PT.jnr) != 0) {
+        if (k > 0 && !r.spaceBefore) addItok(norm.length, " ")
+      } else if ((pt & PT.sep) != 0) {
+        if (k > 0 && r.spaceBefore) addItok(norm.length, " ")
       }
+      val tok = r.text
+      val realI = norm.length
+      @inline def emit(n: String, re: String): Unit = {
+        norm += n; real += re; mapTok += k + 1
+      }
+      val feat = if ((pt & PT.cas) != 0) caseFeature(tok) else "N"
+      if ((pt & PT.cas) != 0 && feat != "N") {
+        emit(lowerCase(tok), feat)
+      } else if (isPlaceholder(tok)) {
+        val ent = placeholderEntity(tok)
+        if (ent == "it" && (pt & PT.tag) != 0) addItok(realI, "T")
+        else emit(PhOpen.toString + ent + PhClose, tok)
+      } else {
+        val cp = if (tok.isEmpty) ' '.toInt else tok.codePointAt(0)
+        if (Character.isDigit(cp)) {
+          if ((pt & PT.nbr) != 0) emit(PhOpen + "num" + PhClose, tok)
+          else emit(tok, tok)
+        } else if (!Character.isLetter(cp) && (pt & PT.pct) != 0) {
+          addItok(realI, tok)
+        } else emit(tok, tok)
+      }
+      k += 1
     }
 
     val itokArr = Array.fill(norm.length + 1)("")
     itoks.foreach { case (i, sb) => if (i <= norm.length) itokArr(i) = sb.result() }
-    TokSent(norm.toArray, real.toArray, itokArr)
+    TokSent(norm.toArray, real.toArray, itokArr,
+      raws.map(_.text), raws.map(_.spaceBefore), mapTok.toArray)
   }
 }
