@@ -76,42 +76,99 @@ object PipelineQueries {
       .distinct()
   }
 
-  /** LSH-bucketed approximate nearest neighbors: 12-bit random-hyperplane
-    * sketch → bucket join → within-bucket cosine (the scale path next to the
-    * exact q_ann_topk baseline). */
-  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Multi-band random-hyperplane LSH approximate nearest neighbors — the
+    * scale path next to the exact q_ann_topk baseline. `bands` sketches of
+    * `bits` hyperplanes each; a pair is a candidate iff it collides in ≥ 1
+    * band (recall 1−(1−p^bits)^bands for per-plane agreement p); buckets
+    * above `bucketCap` are dropped AND counted (never a silent quadratic
+    * blow-up — same discipline as dedup/Candidates.scala). The embedding
+    * dimension is read from the data, not hardcoded. Returns top-`k`
+    * neighbors per query by within-candidate cosine. */
+  def annLsh(
+      spark: SparkSession,
+      dir: String,
+      bits: Int = 4,
+      bands: Int = 24,
+      bucketCap: Int = 4096,
+      k: Int = 5): (DataFrame, org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
-    val nBits = 12
-    val dim = 64
-    val planes: Array[Array[Double]] = {
-      val rng = new java.util.Random(7L)
-      Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
-    }
-    val bc = spark.sparkContext.broadcast(planes)
+    import org.apache.spark.sql.expressions.Window
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val sketched = e.map { case (id, emb) =>
-      val ps = bc.value
-      var bucket = 0L
-      var b = 0
-      while (b < ps.length) {
-        var dot = 0.0
-        var i = 0
-        while (i < emb.length && i < dim) { dot += ps(b)(i) * emb(i); i += 1 }
-        if (dot >= 0) bucket |= (1L << b)
-        b += 1
-      }
-      (bucket, id, emb)
-    }.toDF("bucket", "vec_id", "embedding")
+    val dim = e.head()._2.length
+    val planes: Array[Array[Double]] = {
+      val rng = new java.util.Random(7L)
+      Array.fill(bands * bits)(Array.fill(dim)(rng.nextGaussian()))
+    }
+    val bc = spark.sparkContext.broadcast(planes)
+    val cappedBuckets = spark.sparkContext.longAccumulator("annLshCappedBuckets")
 
-    val a = sketched.toDF("bucket", "q_id", "a_emb")
-    val b = sketched.toDF("bucket", "c_id", "b_emb")
-    a.join(b, "bucket").filter(col("q_id") =!= col("c_id"))
-      .withColumn("sim", expr(
-        "aggregate(zip_with(a_emb, b_emb, (x, y) -> cast(x as double) * cast(y as double)), " +
-        "cast(0 as double), (acc, v) -> acc + v)"))
-      .select("q_id", "c_id", "sim")
+    // one (bucket, id, emb, norm) row per band; bucket key = band ++ sketch
+    val sketched = e.flatMap { case (id, emb) =>
+      val ps = bc.value
+      var nrm = 0.0
+      var i = 0
+      while (i < emb.length) { nrm += emb(i).toDouble * emb(i); i += 1 }
+      nrm = math.sqrt(nrm)
+      (0 until bands).iterator.map { band =>
+        var sketch = 0L
+        var b = 0
+        while (b < bits) {
+          val p = ps(band * bits + b)
+          var dot = 0.0
+          var j = 0
+          while (j < emb.length) { dot += p(j) * emb(j); j += 1 }
+          if (dot >= 0) sketch |= (1L << b)
+          b += 1
+        }
+        ((band.toLong << 32) | sketch, id, emb, nrm)
+      }
+    }
+
+    val pairs = sketched
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = it.toArray
+        if (members.length > bucketCap) { cappedBuckets.add(1); Iterator.empty }
+        else if (members.length < 2) Iterator.empty
+        else {
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]
+          var i = 0
+          while (i < members.length) {
+            var j = i + 1
+            while (j < members.length) {
+              val (_, ida, ea, na) = members(i)
+              val (_, idb, eb, nb) = members(j)
+              if (ida != idb) {
+                var dot = 0.0
+                var t = 0
+                while (t < ea.length) { dot += ea(t).toDouble * eb(t); t += 1 }
+                val sim = dot / (na * nb)
+                if (ida < idb) out += ((ida, idb, sim)) else out += ((idb, ida, sim))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("a_id", "b_id", "sim")
+      .dropDuplicates("a_id", "b_id")
+
+    // both directions → top-k neighbors per query
+    val both = pairs.select(col("a_id").as("q_id"), col("b_id").as("c_id"), col("sim"))
+      .union(pairs.select(col("b_id").as("q_id"), col("a_id").as("c_id"), col("sim")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    val topk = both
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), round(col("sim"), 4).as("sim"),
+        col("rn").cast("bigint").as("rn"))
+    (topk, cappedBuckets)
   }
+
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = annLsh(spark, dir)._1
 
   /** Full dedup pipeline over documents-as-clips: cluster assignments. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
