@@ -47,6 +47,11 @@ final case class DedupConfig(
       * "broadcast" / "shuffle" force a path. */
     strategy: String = "auto",
     broadcastMaxRows: Long = 2000000L,
+    /** byte-based companion gate for "auto": the broadcast path is taken only
+      * when the estimated serialized token corpus (sampled avg row size ×
+      * rows) also fits under this cap — a row cap alone would let a
+      * long-transcript corpus blow executor memory. */
+    broadcastMaxBytes: Long = 2L << 30,
     // --- execution ---
     /** verify-stage skew valve: split each pattern's candidate list across
       * this many salted sub-groups (decisions are per-candidate independent

@@ -46,6 +46,26 @@ object DedupPipeline {
 
   private def stagePath(dir: String, name: String) = s"$dir/$name"
 
+  /** Estimated in-memory bytes of the tokenized corpus: sampled average row
+    * footprint × row count (JVM-ish accounting: object headers + char/long
+    * payloads). Drives the byte-based broadcast gate. */
+  def estimateTokBytes(toks: Dataset[TokRow], nToks: Long): Long = {
+    val sample = toks.take(1024)
+    if (sample.isEmpty) 0L
+    else {
+      var sum = 0L
+      sample.foreach { t =>
+        var b = 64L + 2L * t.clip_id.length + 8L * t.ids.length
+        var i = 0
+        while (i < t.reals.length) { b += 40L + 2L * t.reals(i).length; i += 1 }
+        i = 0
+        while (i < t.itoks.length) { b += 40L + 2L * t.itoks(i).length; i += 1 }
+        sum += b
+      }
+      ((sum.toDouble / sample.length) * nToks).toLong
+    }
+  }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -91,7 +111,9 @@ object DedupPipeline {
     val useBroadcast = cfg.strategy match {
       case "broadcast" => true
       case "shuffle" => false
-      case _ => nToks <= cfg.broadcastMaxRows
+      case _ =>
+        nToks <= cfg.broadcastMaxRows &&
+          estimateTokBytes(toks, nToks) <= cfg.broadcastMaxBytes
     }
 
     var edgesV: Dataset[Edge] = null

@@ -57,7 +57,15 @@ object VerifyStage {
         CandTok(cp.p + "#" + salt, t)
       }
 
-    val patternKeyed = toks.flatMap { t =>
+    // replicate ONLY patterns that actually have candidates (semi-join) —
+    // replicating the whole corpus × salts would ship every token row salts
+    // times through the shuffle even though patterns without candidates emit
+    // nothing from the cogroup
+    val patternIds = orientedCands.select("p").distinct()
+    val patternToks = toks
+      .join(patternIds, toks("clip_id") === patternIds("p"), "left_semi")
+      .as[TokRow]
+    val patternKeyed = patternToks.flatMap { t =>
       (0 until salts).iterator.map(s => CandTok(t.clip_id + "#" + s, t))
     }
 

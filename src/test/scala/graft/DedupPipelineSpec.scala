@@ -178,6 +178,20 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(r2.metrics.find(_.stage == "verify").get.extra.get("restored").contains("true"))
   }
 
+  test("byte-based broadcast gate: a low byte cap forces the shuffle path") {
+    val clips = SynthCorpus.generate(spark, 120)
+    val auto = DedupPipeline.run(clips, cfg.copy(strategy = "auto"))
+    assert(auto.metrics.find(_.stage == "verify").get.extra.get("strategy")
+      .contains("broadcast"), "120 rows should broadcast at default caps")
+    val forced = DedupPipeline.run(clips, cfg.copy(strategy = "auto", broadcastMaxBytes = 1000L))
+    assert(forced.metrics.exists(m => m.stage == "candidates"),
+      "1 kB byte cap must push the run onto the shuffle path")
+    // and the two paths agree on the edge set
+    val a = auto.edges.collect().map(e => norm(e.a, e.b)).toSet
+    val f = forced.edges.collect().map(e => norm(e.a, e.b)).toSet
+    assert(a == f)
+  }
+
   test("resumability: re-run from checkpoints yields identical clusters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val clips = SynthCorpus.generate(spark, 100)
