@@ -18,20 +18,31 @@ import graft.kernel.{Doc, Matcher, SuffixIndex}
 object BroadcastVerifyStage {
 
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, (SuffixIndex, Array[Doc], Array[TokRow])]()
+    new java.util.concurrent.ConcurrentHashMap[
+      Long, (SuffixIndex, Array[Doc], Array[TokRow], scala.collection.mutable.LongMap[Int])]()
 
-  private def indexFor(bcId: Long, rows: Array[TokRow]): (SuffixIndex, Array[Doc], Array[TokRow]) =
+  private def indexFor(bcId: Long, rows: Array[TokRow], needDf: Boolean)
+      : (SuffixIndex, Array[Doc], Array[TokRow], scala.collection.mutable.LongMap[Int]) =
     cache.computeIfAbsent(bcId, _ => {
       val index = new SuffixIndex
       val docs = new Array[Doc](rows.length)
+      // per-word document frequency (A3 sfreq) for the IDF penalty vector
+      val df = scala.collection.mutable.LongMap.empty[Int]
+      val seen = new java.util.HashSet[java.lang.Long]()
       var i = 0
       while (i < rows.length) {
         index.add(rows(i).ids)
         docs(i) = Doc(rows(i).ids, rows(i).reals, rows(i).itoks)
+        if (needDf) {
+          seen.clear()
+          rows(i).ids.foreach { id =>
+            if (seen.add(id)) df(id) = df.getOrElse(id, 0) + 1
+          }
+        }
         i += 1
       }
       index.sort() // eagerly, before publication — lookups are then read-only
-      (index, docs, rows)
+      (index, docs, rows, df)
     })
 
   def apply(toks: Dataset[TokRow], cfg: DedupConfig): Dataset[Edge] = {
@@ -48,21 +59,30 @@ object BroadcastVerifyStage {
       noPerfect = false,
       minSubseqLength = cfg.minSubseqLength,
       minSubseqRatio = cfg.minSubseqRatio,
+      vocabIdfPenalty = cfg.vocabIdfPenalty,
       editCosts = cfg.editCosts,
       maxTokensInPattern = cfg.maxTokensInPattern)
+    val useIdf = cfg.vocabIdfPenalty != 0f
 
-    // with symmetric insert/delete costs the pair decision is direction-free,
-    // so only the canonical shorter-pattern direction is emitted; asymmetric
-    // costs make the DP depend on orientation, so every direction is kept
-    // (a pair is a dup iff EITHER direction clears the threshold — the
-    // oracle's allDupPairs semantics; duplicate edges are harmless to CC)
-    val asym = cfg.editCosts.insert != cfg.editCosts.delete
+    // with symmetric insert/delete costs and no idf the pair decision is
+    // direction-free, so only the canonical shorter-pattern direction is
+    // emitted; asymmetric costs or idf weighting make the DP depend on
+    // orientation, so every direction is kept (a pair is a dup iff EITHER
+    // direction clears the threshold — the oracle's allDupPairs semantics;
+    // duplicate edges are harmless to CC)
+    val asym = cfg.editCosts.insert != cfg.editCosts.delete || useIdf
 
     toks.mapPartitions { it =>
-      val (index, docs, rows) = indexFor(bcId, bc.value)
+      val (index, docs, rows, df) = indexFor(bcId, bc.value, useIdf)
+      val n = rows.length
+      val idfMax = if (useIdf) math.log(n.toDouble).toFloat else 0.01f
       it.flatMap { p =>
         val pattern = Doc(p.ids, p.reals, p.itoks)
-        Matcher.matchPattern(index, docs, pattern, params).iterator.flatMap { m =>
+        // float division then log — oracle idfPenalty parity
+        val idfVec =
+          if (useIdf) p.ids.map(id => math.log((n.toFloat / df.getOrElse(id, 1).toFloat).toDouble).toFloat)
+          else null
+        Matcher.matchPattern(index, docs, pattern, params, idfVec, idfMax).iterator.flatMap { m =>
           val s = rows(m.sIdx)
           val keep = s.clip_id != p.clip_id &&
             (asym || p.n_tokens < s.n_tokens ||

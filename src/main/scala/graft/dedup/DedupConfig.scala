@@ -19,6 +19,12 @@ final case class DedupConfig(
     pt: Int = PT.default,
     maxTokensInPattern: Int = 300,
     editCosts: EditCosts = EditCosts(),
+    /** IDF insertion-penalty weight (reference CLI `--idf-penalty`, default 0
+      * = off, /root/reference/cli/src/FuzzyMatch-cli.cc:335): inserting a
+      * rare word costs more than a stop word. When non-zero, both verify
+      * strategies compute per-pattern IDF vectors from the corpus
+      * document frequencies (A3/A4). */
+    vocabIdfPenalty: Float = 0f,
     // --- candidate generation ---
     /** n-gram size for the exact inverted-index channel; pairs sharing a
       * k-token substring are surfaced (k=3 matches the reference's

@@ -150,7 +150,7 @@ object DedupPipeline {
         })(cands.count())
         timed("verify", nCands,
           if (restoredStages("edges")) Map("restored" -> "true") else Map.empty) {
-          edgesV = checkpointed("edges", VerifyStage(toks, cands, cfg))(_.as[Edge]).persist()
+          edgesV = checkpointed("edges", VerifyStage(toks, cands, cfg, nToks))(_.as[Edge]).persist()
           edgesV.count()
         }
         cands.unpersist()

@@ -11,6 +11,9 @@ final case class Edge(a: String, b: String, score: Double, lcs: Int, kind: Strin
 /** (pattern id, candidate token row) join product. */
 final case class CandTok(p: String, t: TokRow)
 
+/** Salted pattern row carrying its IDF penalty vector (empty when idf off). */
+final case class PatTok(p: String, t: TokRow, idf: Array[Float])
+
 /** Stage 2b — pair verification. Groups candidates by pattern and runs the
   * REFERENCE MATCHER per group over a per-group suffix-array index: the
   * n-gram sweep + longest-match consolidation (J1/J2/A1/A2), coverage
@@ -22,7 +25,11 @@ final case class CandTok(p: String, t: TokRow)
   */
 object VerifyStage {
 
-  def apply(toks: Dataset[TokRow], cands: Dataset[CandPair], cfg: DedupConfig): Dataset[Edge] = {
+  def apply(
+      toks: Dataset[TokRow],
+      cands: Dataset[CandPair],
+      cfg: DedupConfig,
+      nRows: Long = -1L): Dataset[Edge] = {
     val spark = toks.sparkSession
     import spark.implicits._
 
@@ -32,16 +39,23 @@ object VerifyStage {
       noPerfect = false,
       minSubseqLength = cfg.minSubseqLength,
       minSubseqRatio = cfg.minSubseqRatio,
+      vocabIdfPenalty = cfg.vocabIdfPenalty,
       editCosts = cfg.editCosts,
       maxTokensInPattern = cfg.maxTokensInPattern)
+    val useIdf = cfg.vocabIdfPenalty != 0f
+    val corpusSize: Long =
+      if (!useIdf) 0L else if (nRows >= 0) nRows else toks.count()
+    val idfMax: Float = if (useIdf) math.log(corpusSize.toDouble).toFloat else 0.01f
 
-    // with asymmetric insert/delete costs the DP score depends on which side
-    // is the pattern, so the oriented candidate set must be verified in both
-    // directions (pair is a dup iff EITHER direction clears the threshold —
-    // the oracle's allDupPairs semantics); symmetric costs need one direction
-    val asym = cfg.editCosts.insert != cfg.editCosts.delete
+    // with asymmetric insert/delete costs OR idf weighting the DP score
+    // depends on which side is the pattern (idf penalties are pattern-side),
+    // so the oriented candidate set must be verified in both directions
+    // (pair is a dup iff EITHER direction clears the threshold — the
+    // oracle's allDupPairs semantics); the symmetric non-idf default needs
+    // only the canonical shorter-pattern direction
+    val directionful = cfg.editCosts.insert != cfg.editCosts.delete || useIdf
     val orientedCands =
-      if (asym) cands.union(cands.map(cp => CandPair(cp.c, cp.p))) else cands
+      if (directionful) cands.union(cands.map(cp => CandPair(cp.c, cp.p))) else cands
 
     // salt the group key: with numberOfMatches=0 every candidate's decision
     // is independent, so a hot pattern's candidate list can split across
@@ -65,15 +79,50 @@ object VerifyStage {
     val patternToks = toks
       .join(patternIds, toks("clip_id") === patternIds("p"), "left_semi")
       .as[TokRow]
-    val patternKeyed = patternToks.flatMap { t =>
-      (0 until salts).iterator.map(s => CandTok(t.clip_id + "#" + s, t))
+
+    // IDF vectors (A4) for the distributed path, computed as a token-keyed
+    // join (never a broadcast dictionary — vocab is unbounded at 10^12 rows):
+    // doc-freq table (A3) ⋈ exploded pattern positions → per-pattern vector
+    val patternWithIdf: Dataset[(TokRow, Array[Float])] =
+      if (!useIdf) patternToks.map(t => (t, Array.emptyFloatArray))
+      else {
+        val dfTab: Dataset[(Long, Long)] = toks
+          .flatMap { t =>
+            val seen = new java.util.HashSet[java.lang.Long]()
+            t.ids.iterator.filter(id => seen.add(id)).map(id => (id, 1L))
+          }
+          .groupByKey(_._1)
+          .reduceGroups((a, b) => (a._1, a._2 + b._2))
+          .map(_._2)
+        val exploded: Dataset[(String, Int, Long)] =
+          patternToks.flatMap(t => t.ids.iterator.zipWithIndex.map { case (id, pos) => (t.clip_id, pos, id) })
+        val n = corpusSize
+        val withIdf: Dataset[(String, Int, Float)] = exploded
+          .joinWith(dfTab, exploded("_3") === dfTab("_1"))
+          .map { case ((cid, pos, _), (_, df)) =>
+            // float division then log, matching the oracle's idfPenalty
+            // (oracle/FuzzyMatcher.scala — math.log(n / sfreq.toFloat))
+            (cid, pos, math.log((n.toFloat / df.toFloat).toDouble).toFloat)
+          }
+        val vectors = withIdf.groupByKey(_._1).mapGroups { (cid, it) =>
+          val entries = it.toArray
+          java.util.Arrays.sort(entries, Ordering.by((e: (String, Int, Float)) => e._2))
+          (cid, entries.map(_._3))
+        }
+        patternToks.joinWith(vectors, patternToks("clip_id") === vectors("_1"))
+          .map { case (t, (_, v)) => (t, v) }
+      }
+
+    val patternKeyed = patternWithIdf.flatMap { case (t, idf) =>
+      (0 until salts).iterator.map(s => PatTok(t.clip_id + "#" + s, t, idf))
     }
 
     patternKeyed.groupByKey(_.p)
       .cogroup(candToks.groupByKey(_.p)) { (saltedKey, pIt, cIt) =>
         if (!pIt.hasNext) Iterator.empty
         else {
-          val pRow = pIt.next().t
+          val pat = pIt.next()
+          val pRow = pat.t
           val candRows = cIt.map(_.t).toArray
           if (candRows.isEmpty) Iterator.empty
           else {
@@ -87,7 +136,8 @@ object VerifyStage {
               i += 1
             }
             val pattern = Doc(pRow.ids, pRow.reals, pRow.itoks)
-            Matcher.matchPattern(index, docs, pattern, params).iterator.map { m =>
+            val idfVec = if (pat.idf.nonEmpty) pat.idf else null
+            Matcher.matchPattern(index, docs, pattern, params, idfVec, idfMax).iterator.map { m =>
               val kind = if (m.maxSubseq >= pRow.n_tokens) "substring" else "edit"
               Edge(patternId, candRows(m.sIdx).clip_id, m.score, m.maxSubseq, kind)
             }

@@ -157,7 +157,9 @@ final class FuzzyMatcher(pt: Int = PT.default, maxTokensInPattern: Int = 300) {
     var i = 0
     while (i < docsBuf.length) {
       val pattern = docsBuf(i)
-      val res = Matcher.matchPattern(index, docsBuf, pattern, p)
+      val (idf, idfM) =
+        if (p.vocabIdfPenalty != 0f) (idfPenalty(pattern.ids), idfMax) else (null, 0.01f)
+      val res = Matcher.matchPattern(index, docsBuf, pattern, p, idf, idfM)
       for (m <- res if m.sIdx != i) {
         val a = idsBuf(i); val b = idsBuf(m.sIdx)
         pairs += (if (a < b) (a, b) else (b, a))

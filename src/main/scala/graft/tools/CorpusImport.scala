@@ -1,0 +1,76 @@
+package graft.tools
+
+import graft.oracle.FuzzyMatcher
+
+/** Corpus import with the reference CLI's S1 semantics
+  * (/root/reference/cli/src/FuzzyMatch-cli.cc:32-79):
+  *
+  *  - `src,tgt` comma pair → two parallel files read line-by-line;
+  *  - otherwise a single file whose lines may be inline `src\ttgt`;
+  *  - files ending in `.gz` are transparently gunzipped;
+  *  - ids are 1-based line numbers; `addTarget` appends `=tgt` to the id;
+  *    `addTargetNoIndex` uses the target alone as the id.
+  */
+object CorpusImport {
+
+  /** Line iterator over a plain or gzipped UTF-8 text file. Closes the
+    * stream when the iterator is exhausted; call `close()` early otherwise. */
+  final class Lines(path: String) extends Iterator[String] with AutoCloseable {
+    private val in: java.io.BufferedReader = {
+      val fis = new java.io.FileInputStream(path)
+      val stream =
+        if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(fis) else fis
+      new java.io.BufferedReader(
+        new java.io.InputStreamReader(stream, java.nio.charset.StandardCharsets.UTF_8))
+    }
+    private var nextLine: String = in.readLine()
+    override def hasNext: Boolean = nextLine != null
+    override def next(): String = {
+      val l = nextLine
+      nextLine = in.readLine()
+      if (nextLine == null) close()
+      l
+    }
+    override def close(): Unit = in.close()
+  }
+
+  /** Index `tmFile` into the matcher; returns the number of lines read. */
+  def importTm(
+      fm: FuzzyMatcher,
+      tmFile: String,
+      addTarget: Boolean = false,
+      addTargetNoIndex: Boolean = false): Int = {
+    val comma = tmFile.indexOf(',')
+    val (srcPath, tgtPath) =
+      if (comma >= 0) (tmFile.substring(0, comma), Some(tmFile.substring(comma + 1)))
+      else (tmFile, None)
+    val src = new Lines(srcPath)
+    val tgt = tgtPath.map(new Lines(_))
+    try {
+      var count = 0
+      while (src.hasNext) {
+        var srcLine = src.next()
+        var tgtLine = tgt match {
+          case Some(t) => if (t.hasNext) t.next() else ""
+          case None =>
+            val tab = srcLine.indexOf('\t')
+            if (tab >= 0) {
+              val tl = srcLine.substring(tab + 1)
+              srcLine = srcLine.substring(0, tab)
+              tl
+            } else ""
+        }
+        count += 1
+        val id =
+          if (addTargetNoIndex) tgtLine
+          else if (addTarget) s"$count=$tgtLine"
+          else count.toString
+        fm.addTm(id, srcLine)
+      }
+      count
+    } finally {
+      src.close()
+      tgt.foreach(_.close())
+    }
+  }
+}

@@ -24,11 +24,13 @@ object OracleCli {
     val ml = if (args.length > 4) args(4).toInt else 3
     val mr = if (args.length > 5) args(5).toFloat else 0.3f
 
+    // corpus may be plain text, .gz, a "src,tgt" parallel pair, or inline
+    // TAB-split bitext (reference import_tm, FuzzyMatch-cli.cc:32-79);
+    // GRAFT_ADD_TARGET=1 appends "=tgt" to ids, =2 uses the target as the id
     val fm = new FuzzyMatcher(PT.default)
-    var n = 0
-    val src = scala.io.Source.fromFile(corpus)
-    try src.getLines().foreach { line => n += 1; fm.addTm(n.toString, line) }
-    finally src.close()
+    val addTargetMode = sys.env.getOrElse("GRAFT_ADD_TARGET", "0")
+    val n = CorpusImport.importTm(fm, corpus,
+      addTarget = addTargetMode == "1", addTargetNoIndex = addTargetMode == "2")
     fm.sort()
     System.err.println(s"indexed $n sentences from $corpus")
 

@@ -178,6 +178,29 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(r2.metrics.find(_.stage == "verify").get.extra.get("restored").contains("true"))
   }
 
+  test("IDF-weighted matching: both strategies match the oracle at idf=1") {
+    val idfCfg = cfg.copy(vocabIdfPenalty = 1f, threshold = 0.7f)
+    val n = 240
+    val want = {
+      val fm = new FuzzyMatcher(idfCfg.pt, idfCfg.maxTokensInPattern)
+      SynthCorpus.transcripts(n).foreach { case (id, t) => fm.addTm(id, t) }
+      fm.allDupPairs(Matcher.Params(
+        fuzzy = idfCfg.threshold,
+        minSubseqLength = idfCfg.minSubseqLength,
+        minSubseqRatio = idfCfg.minSubseqRatio,
+        vocabIdfPenalty = idfCfg.vocabIdfPenalty,
+        editCosts = idfCfg.editCosts,
+        maxTokensInPattern = idfCfg.maxTokensInPattern))
+    }
+    assert(want.nonEmpty, "idf corpus produced no oracle pairs — test is vacuous")
+    val clips = SynthCorpus.generate(spark, n)
+    for (strategy <- Seq("broadcast", "shuffle")) {
+      val got = DedupPipeline.run(clips, idfCfg.copy(strategy = strategy))
+        .edges.collect().map(e => norm(e.a, e.b)).toSet
+      assert(got == want, s"$strategy: ${(want -- got).size} missed, ${(got -- want).size} extra")
+    }
+  }
+
   test("byte-based broadcast gate: a low byte cap forces the shuffle path") {
     val clips = SynthCorpus.generate(spark, 120)
     val auto = DedupPipeline.run(clips, cfg.copy(strategy = "auto"))
