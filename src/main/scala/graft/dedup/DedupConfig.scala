@@ -40,8 +40,14 @@ final case class DedupConfig(
     useNgramChannel: Boolean = true,
     /** emit candidate pairs from MinHash LSH bands (the 10^12-row path). */
     useMinhashChannel: Boolean = true,
-    minhashPerms: Int = 128,
-    minhashBands: Int = 64, // rows per band = perms / bands (r=2: catches the low-Jaccard tail of edit-dups)
+    /** rows per band r = perms / bands. Measured on the 120k-clip Zipf corpus
+      * against exact truth (broadcast path) under harsh caps (24/96):
+      * r=2 (128/64) recall 0.99979 @108 s, r=3 (96/32) 0.99917 @33 s,
+      * r=4 (128/32) 0.99892 @44 s, r=8 (128/16) 0.99834 @21 s — r=2's extra
+      * band collisions triple candidate volume for +0.0006 recall, so r=3 is
+      * the default (≥0.99 gate holds with margin; tools/ProfileRecall.scala). */
+    minhashPerms: Int = 96,
+    minhashBands: Int = 32,
     /** max docs per band bucket before pair emission is capped. */
     bandDfCap: Int = 256,
     /** rows with fewer tokens than shingleK are broadcast and matched by

@@ -129,7 +129,9 @@ object DedupPipeline {
         edgesV
       } else {
         // beyond-memory path: signatures → LSH/shingle candidates → verify
-        lazy val sigs = checkpointed("signatures", SignatureStage(toks, cfg))(_.as[SigRow])
+        // persisted: the minhash channel reads signatures twice (hot-bucket
+        // stats pre-pass + the bucket join itself)
+        lazy val sigs = checkpointed("signatures", SignatureStage(toks, cfg))(_.as[SigRow]).persist()
         val sc = spark.sparkContext
         val cappedShingleBuckets = sc.longAccumulator("cappedShingleBuckets")
         val cappedShinglePairs = sc.longAccumulator("cappedShinglePairsLost")
@@ -154,6 +156,7 @@ object DedupPipeline {
           edgesV.count()
         }
         cands.unpersist()
+        if (cfg.useMinhashChannel) sigs.unpersist() // guard: don't force the lazy
         edgesV
       }
     val nEdges = edges.count()

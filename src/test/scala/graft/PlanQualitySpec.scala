@@ -63,7 +63,7 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
-  test("candidate channels shuffle once on the bucket key (no extra exchanges)") {
+  test("candidate pair generation is an equi-join on the bucket hash, never a nested loop") {
     import spark.implicits._
     val clips = graft.data.SynthCorpus.generate(spark, 64)
     val cfg = graft.dedup.DedupConfig()
@@ -71,7 +71,12 @@ class PlanQualitySpec extends AnyFunSuite {
     val acc1 = spark.sparkContext.longAccumulator
     val acc2 = spark.sparkContext.longAccumulator
     val ch = graft.dedup.CandidateStage.ngramChannel(toks, cfg, acc1, acc2)
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(planOf(ch.toDF())).length
-    assert(exchanges == 1, s"ngram channel should shuffle exactly once, got $exchanges")
+    val p = planOf(ch.toDF())
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the P5 window + orientation live INSIDE an equi-join on sh (codegen),
+    // not a typed flatMapGroups — the bucket join is the whole-stage-codegen
+    // hot path and AQE can skew-split it
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
   }
 }
