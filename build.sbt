@@ -31,3 +31,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 )
 
 run / connectInput := true
+// Forked-run output must reach stdout RAW: the bench/verify drivers parse
+// stdout lines as JSON, and sbt's default logger prefixes them with "[info] ".
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -35,21 +35,68 @@ object Bench {
       results(name) = (System.nanoTime() - t0) / 1e9
     }
 
-    // dedup pipeline throughput on the synthetic clip corpus
+    // dedup pipeline throughput on the synthetic clip corpus — both the
+    // broadcast fast path (reference architecture) and the shuffle/LSH
+    // path (the beyond-memory 100 TB path)
     val clips = SynthCorpus.generate(spark, nClips, partitions = cpus * 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     clips.count() // materialize input outside the timed section
+    def timePipeline(s: SparkSession, strategy: String, n: Long): Double = {
+      val in = SynthCorpus.generate(s, n, partitions = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      in.count()
+      val t0 = System.nanoTime()
+      DedupPipeline.run(in, DedupConfig(strategy = strategy, shufflePartitions = cpus))
+        .clusters.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      in.unpersist()
+      sec
+    }
     val t0 = System.nanoTime()
-    val out = DedupPipeline.run(clips, DedupConfig(shufflePartitions = cpus))
-    out.clusters.count()
+    DedupPipeline.run(clips, DedupConfig(shufflePartitions = cpus)).clusters.count()
     val pipeSec = (System.nanoTime() - t0) / 1e9
     results("dedup_pipeline_synth") = pipeSec
+    val shufSec = timePipeline(spark, "shuffle", nClips)
+    results("dedup_shuffle_synth") = shufSec
+    spark.stop()
+
+    // two-cluster-size scaling probe (sandbox proxy for N vs 4N executors):
+    // the SAME shuffle job on the SAME deterministic input at local[8] and
+    // local[32]. One-shot numbers on this noise-prone host — BASELINE.md
+    // carries interleaved repeated runs; this keeps the evidence per-round.
+    val scaling = scala.util.Try {
+      if (sys.env.get("SPARK_GRAFT_SCALING").contains("0")) "" else {
+        def levelRun(lvl: Int): Double = {
+          val s = DedupPipeline.sessionDefaults(
+            SparkSession.builder().master(s"local[$lvl]").appName(s"graft-bench-scale-$lvl"), lvl)
+            .getOrCreate()
+          s.sparkContext.setLogLevel("WARN")
+          val sec = timePipeline(s, "shuffle", nClips)
+          s.stop()
+          nClips / sec
+        }
+        // interleaved best-of-2 per level: this host's shared CPU swings
+        // several-fold minute to minute, so single-shot ratios can invert;
+        // best-of-interleaved is the least contaminated estimate (BASELINE.md).
+        // 2→8 sits below the host's sustained-core throttle (~8-12 effective
+        // cores measured) so it is the meaningful 1:4 ratio; 8→32 is
+        // reported too but saturates the VM's core budget.
+        val levels = Seq(2, 8, 32)
+        val best = scala.collection.mutable.Map.empty[Int, Double]
+        for (_ <- 1 to 2; lvl <- levels) {
+          val c = levelRun(lvl)
+          best(lvl) = math.max(best.getOrElse(lvl, 0.0), c)
+        }
+        val (c2, c8, c32) = (best(2), best(8), best(32))
+        f""","scaling":{"local2_clips_per_sec":$c2%.1f,"local8_clips_per_sec":$c8%.1f,"local32_clips_per_sec":$c32%.1f,"efficiency_2_to_8":${(c8 / c2) / 4.0}%.3f,"efficiency_8_to_32":${(c32 / c8) / 4.0}%.3f}"""
+      }
+    }.getOrElse("")
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.values.sum
     val cps = nClips / pipeSec
+    val cpsShuf = nClips / shufSec
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","clips":$nClips,"clips_per_sec":$cps%.1f,"cpus":$cpus}""")
-    spark.stop()
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","clips":$nClips,"clips_per_sec":$cps%.1f,"clips_per_sec_shuffle":$cpsShuf%.1f,"cpus":$cpus$scaling}""")
   }
 }
