@@ -84,7 +84,7 @@ object CandidateStage {
     * side is aggregated first (map-side partial agg) and is tiny relative to
     * the corpus — it is counted on the driver into the metric accumulators,
     * so capping is never silent, and broadcast into the anti-join when small. */
-  private def bucketJoinPairs(
+  private[dedup] def bucketJoinPairs(
       entries: Dataset[BucketEntry],
       cap: Int,
       cappedBuckets: LongAccumulator,

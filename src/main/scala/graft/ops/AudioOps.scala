@@ -127,7 +127,7 @@ object AudioOps {
     })
   }
 
-  private def wavWrap(pcm: Array[Byte], srHz: Int): Array[Byte] = {
+  private[graft] def wavWrap(pcm: Array[Byte], srHz: Int): Array[Byte] = {
     val buf = java.nio.ByteBuffer.allocate(44 + pcm.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)

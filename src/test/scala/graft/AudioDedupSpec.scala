@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.data.{AudioPcm, Clip}
+import graft.dedup.AudioDedup
+
+/** Audio-payload near-dup channel: exact pair-set on planted duplicate
+  * groups, amplitude invariance, rejection of unrelated content, and the
+  * capped-bucket accountability contract. */
+class AudioDedupSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("audio-dedup-spec")
+    .getOrCreate()
+
+  private def norm(a: String, b: String) = if (a < b) (a, b) else (b, a)
+
+  /** Clip with audio from `seed` (seeds chosen so synthWav tone frequencies
+    * never collide across groups — distinct |seed| % 900). */
+  private def clip(id: String, seed: Long, nSamples: Int): Clip =
+    Clip(id, AudioPcm.synthWav(seed, nSamples, 16000), 16000,
+      (nSamples * 1000L / 16000).toInt, "pcm_s16le", s"transcript $id")
+
+  test("planted duplicate groups: emitted pair set is exactly the within-group pairs") {
+    import spark.implicits._
+    // 40 groups × 4 members sharing identical audio; freq distinct per group
+    val clips = (0 until 160).map { i =>
+      val g = i / 4
+      clip(f"c_$i%04d", seed = g.toLong * 7L, nSamples = 320 + 13 * g)
+    }
+    val got = AudioDedup(clips.toDS()).collect().map(e => norm(e.a, e.b)).toSet
+    val want = (for {
+      g <- 0 until 40; i <- 0 until 4; j <- i + 1 until 4
+    } yield norm(f"c_${g * 4 + i}%04d", f"c_${g * 4 + j}%04d")).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(got.forall { case (a, b) => a != b })
+  }
+
+  test("amplitude-scaled copy is detected (envelope/head normalization)") {
+    import spark.implicits._
+    val base = clip("orig", seed = 3L, nSamples = 480)
+    val scaled = {
+      val s = AudioPcm.decodePcm(base.bytes)
+      val buf = java.nio.ByteBuffer.allocate(s.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      s.foreach(v => buf.putShort((v / 2).toShort))
+      base.copy(clip_id = "half", bytes = graft.ops.AudioOps.wavWrap(buf.array(), 16000))
+    }
+    val others = (10 until 20).map(i => clip(s"bg_$i", seed = i.toLong * 11L, nSamples = 480))
+    val got = AudioDedup((others :+ base :+ scaled).toDS())
+      .collect().map(e => norm(e.a, e.b)).toSet
+    assert(got.contains(("half", "orig")), s"scaled copy not found; got $got")
+  }
+
+  test("unrelated clips (distinct tones) emit no pairs") {
+    import spark.implicits._
+    val clips = (0 until 100).map(i => clip(s"u_$i", seed = i.toLong * 11L + 5L, nSamples = 400))
+    val got = AudioDedup(clips.toDS()).collect()
+    assert(got.isEmpty, s"${got.length} false pairs, e.g. ${got.take(3).mkString(",")}")
+  }
+
+  test("hot fingerprint buckets are capped AND counted, never silent") {
+    import spark.implicits._
+    // identical audio everywhere → every chunk bucket is hot at cap 2
+    val clips = (0 until 32).map(i => clip(s"h_$i", seed = 1L, nSamples = 320))
+    val acc = spark.sparkContext.longAccumulator("cap-test")
+    val edges = AudioDedup.pairs(
+      AudioDedup.fingerprints(clips.toDS()), bucketCap = 2, cappedBuckets = acc)
+    edges.count()
+    assert(acc.value > 0, "cap=2 never triggered on 32 identical clips — cap machinery dead")
+  }
+
+  test("pearson: identical 1.0, scaled 1.0, flat-vs-structured 0, bounded") {
+    val a = Array(1f, 2f, 3f, 2f, 1f, 0f)
+    assert(math.abs(AudioDedup.pearson(a, a) - 1.0) < 1e-9)
+    assert(math.abs(AudioDedup.pearson(a, a.map(_ * 0.5f)) - 1.0) < 1e-9)
+    val flat = Array.fill(6)(2f)
+    assert(AudioDedup.pearson(a, flat) == 0.0)
+    assert(AudioDedup.pearson(flat, flat.map(_ * 3f)) == 1.0)
+  }
+}
