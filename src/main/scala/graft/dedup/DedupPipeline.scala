@@ -66,10 +66,8 @@ object DedupPipeline {
     }
   }
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def exists(spark: SparkSession, path: String): Boolean =
+    graft.data.TableIO.exists(spark, path)
 
   /** Run (or resume) the full pipeline. */
   def run(clips: Dataset[Clip], cfg: DedupConfig, checkpointDir: Option[String] = None): DedupResult = {
@@ -94,9 +92,9 @@ object DedupPipeline {
         case Some(dir) =>
           val path = stagePath(dir, name)
           if (!exists(spark, path))
-            compute.write.mode(SaveMode.Overwrite).parquet(path)
+            graft.data.TableIO.write(compute.toDF(), path)
           else restoredStages += name
-          read(spark.read.parquet(path))
+          read(graft.data.TableIO.read(spark, path))
         case None => compute
       }
     }
@@ -175,7 +173,7 @@ object DedupPipeline {
       // per-partition lineage rows alongside the stage-level metrics
       metrics ++= Metrics.perPartition("tokens", toks)
       metrics ++= Metrics.perPartition("edges", edges)
-      metrics.toSeq.toDS().write.mode(SaveMode.Overwrite).parquet(stagePath(dir, "metrics"))
+      graft.data.TableIO.write(metrics.toSeq.toDS().toDF(), stagePath(dir, "metrics"))
     }
     DedupResult(clusters, edges, metrics.toSeq)
   }

@@ -63,7 +63,7 @@ object VerifyStage {
     // skew valve for patterns that land in thousands of buckets
     val salts = math.max(1, cfg.verifySalts)
     val candToks = orientedCands
-      .joinWith(toks, cands("c") === toks("clip_id"))
+      .joinWith(toks, orientedCands("c") === toks("clip_id"))
       .map { case (cp, t) =>
         val salt =
           if (salts == 1) 0

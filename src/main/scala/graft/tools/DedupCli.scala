@@ -23,7 +23,7 @@ object DedupCli {
     val clips =
       if (args(0).startsWith("synth:"))
         SynthCorpus.generate(spark, args(0).stripPrefix("synth:").toLong, partitions = cpus * 2)
-      else spark.read.parquet(args(0)).as[graft.data.Clip]
+      else graft.data.TableIO.readClips(spark, args(0)) // Iceberg ident or parquet path
 
     val cfg = DedupConfig(
       threshold = if (args.length > 2) args(2).toFloat else 0.8f,
