@@ -300,6 +300,15 @@ object PipelineQueries {
     DedupPipeline.run(documentsAsClips(spark, dir), cfg).clusters.toDF()
   }
 
+  /** Dedup OUTPUT table: one surviving row per cluster, original columns
+    * passed through (per-row invariant asserted in SurvivorsSpec). */
+  def qDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val clips = documentsAsClips(spark, dir)
+    val r = DedupPipeline.run(clips, DedupConfig(threshold = 0.8f))
+    Survivors.survivors(clips, r.clusters).toDF()
+      .select(col("clip_id"), col("transcript"))
+  }
+
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_sigs" -> (qMinhashSigs _),
     "q_simhash_pairs" -> (qSimhashPairs _),
@@ -307,6 +316,7 @@ object PipelineQueries {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_audio_dup_pairs" -> (qAudioDupPairs _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_audio_meta" -> (AudioOps.qAudioMeta _),
     "q_audio_energy" -> (AudioOps.qAudioEnergy _)
   )
