@@ -26,6 +26,13 @@ object Bench {
       "q_jaccard_pairs", "q_ann_topk", "q_embed_norm", "q_minhash_sigs",
       "q_simhash_pairs", "q_ann_lsh")
 
+    // session warmup on synthetic data only: pay JVM/codegen/session init
+    // once so the first measured query reflects the engine, not cold start
+    // (the real tables stay cold — their IO is part of the measurement)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    DedupPipeline.run(SynthCorpus.generate(spark, 400, partitions = 4),
+      DedupConfig(strategy = "shuffle", shufflePartitions = cpus))
+
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (name <- headline) {
       val fn = SparkEntry.queries(name)

@@ -64,6 +64,14 @@ final case class DedupConfig(
       * rows) also fits under this cap — a row cap alone would let a
       * long-transcript corpus blow executor memory. */
     broadcastMaxBytes: Long = 2L << 30,
+    // --- multimodal ---
+    /** also run the audio-fingerprint near-dup channel (AudioDedup) and
+      * union its edges into clustering: clips whose AUDIO matches cluster
+      * together even when transcripts differ. Off by default (the reference
+      * semantics are transcript-only). */
+    useAudioChannel: Boolean = false,
+    /** minimum head-sketch Pearson correlation for an audio edge. */
+    audioMinCorr: Double = 0.98,
     // --- execution ---
     /** verify-stage skew valve: split each pattern's candidate list across
       * this many salted sub-groups (decisions are per-candidate independent

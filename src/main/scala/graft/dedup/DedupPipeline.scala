@@ -40,6 +40,13 @@ object DedupPipeline {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // the verify cogroup deserializes token rows into JVM objects with a
+      // ~10× in-memory blowup over their shuffle bytes, and AQE sizes
+      // coalescing on OUTPUT bytes — a 64 MB advisory can hand one task an
+      // object graph far beyond its heap share on a real executor. 16 MB
+      // keeps object-heavy tasks bounded; parallelismFirst (default) still
+      // floors the partition count at the available cores.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
@@ -157,13 +164,29 @@ object DedupPipeline {
         if (cfg.useMinhashChannel) sigs.unpersist() // guard: don't force the lazy
         edgesV
       }
-    val nEdges = edges.count()
+    // optional multimodal channel: audio-fingerprint near-dups join the
+    // edge set, so same-audio/different-transcript clips cluster together
+    val allEdges =
+      if (!cfg.useAudioChannel) edges
+      else {
+        var audioE: Dataset[Edge] = null
+        timed("audio_verify", nClips,
+          if (restoredStages("audio_edges")) Map("restored" -> "true") else Map.empty) {
+          val acc = spark.sparkContext.longAccumulator("audioCappedBuckets")
+          audioE = checkpointed("audio_edges",
+            AudioDedup.pairs(AudioDedup.fingerprints(clips), minCorr = cfg.audioMinCorr,
+              cappedBuckets = acc))(_.as[Edge]).persist()
+          audioE.count()
+        }
+        edges.union(audioE)
+      }
+    val nEdges = allEdges.count()
 
     // Stage 3: connected components
     var clusters: Dataset[ClusterRow] = null
     timed("cluster", nEdges) {
       clusters = checkpointed("clusters",
-        ConnectedComponents(edges, toks.select($"clip_id").toDF(), cfg.ccMaxIterations,
+        ConnectedComponents(allEdges, toks.select($"clip_id").toDF(), cfg.ccMaxIterations,
           cfg.ccLocalEdgeCap))(_.as[ClusterRow])
         .persist()
       clusters.count()
@@ -172,9 +195,9 @@ object DedupPipeline {
     checkpointDir.foreach { dir =>
       // per-partition lineage rows alongside the stage-level metrics
       metrics ++= Metrics.perPartition("tokens", toks)
-      metrics ++= Metrics.perPartition("edges", edges)
+      metrics ++= Metrics.perPartition("edges", allEdges)
       graft.data.TableIO.write(metrics.toSeq.toDS().toDF(), stagePath(dir, "metrics"))
     }
-    DedupResult(clusters, edges, metrics.toSeq)
+    DedupResult(clusters, allEdges, metrics.toSeq)
   }
 }

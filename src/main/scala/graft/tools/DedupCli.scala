@@ -12,7 +12,8 @@ import graft.dedup._
   */
 object DedupCli {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: DedupCli <synth:N|parquet> <outDir|-> [threshold] [minhash:0|1]")
+    require(args.length >= 2,
+      "usage: DedupCli <synth:N|parquet> <outDir|-> [threshold] [minhash:0|1] [audio:0|1]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = DedupPipeline.sessionDefaults(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-dedup"), cpus)
@@ -28,6 +29,7 @@ object DedupCli {
     val cfg = DedupConfig(
       threshold = if (args.length > 2) args(2).toFloat else 0.8f,
       useMinhashChannel = args.length > 3 && args(3) == "minhash:1",
+      useAudioChannel = args.length > 4 && args(4) == "audio:1",
       shufflePartitions = cpus)
 
     val t0 = System.nanoTime()

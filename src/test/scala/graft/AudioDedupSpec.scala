@@ -74,6 +74,29 @@ class AudioDedupSpec extends AnyFunSuite {
     assert(acc.value > 0, "cap=2 never triggered on 32 identical clips — cap machinery dead")
   }
 
+  test("multimodal pipeline: same-audio/different-transcript clips cluster only with the audio channel on") {
+    import spark.implicits._
+    import graft.dedup.{DedupConfig, DedupPipeline}
+    // x/y share AUDIO but have unrelated transcripts; others are noise
+    val shared = graft.data.AudioPcm.synthWav(99L, 480, 16000)
+    val base = (0 until 20).map(i => clip(s"n_$i", seed = 100L + i * 11L, nSamples = 480))
+    val x = Clip("x", shared, 16000, 30, "pcm_s16le", "completely different words here")
+    val y = Clip("y", shared, 16000, 30, "pcm_s16le", "unrelated sentence about other topics")
+    val clips = (base :+ x :+ y).toDS()
+
+    val off = DedupPipeline.run(clips, DedupConfig(strategy = "shuffle"))
+      .clusters.collect().map(r => r.clip_id -> r.cluster_id).toMap
+    assert(off("x") != off("y"), "transcript-only run must NOT merge x and y")
+
+    val on = DedupPipeline.run(clips, DedupConfig(strategy = "shuffle", useAudioChannel = true))
+    assert(on.clusters.collect().map(r => r.clip_id -> r.cluster_id).toMap.apply("x") ==
+      on.clusters.collect().map(r => r.clip_id -> r.cluster_id).toMap.apply("y"),
+      "audio channel must merge x and y")
+    val audioEdges = on.edges.collect().filter(_.kind == "audio")
+    assert(audioEdges.nonEmpty && audioEdges.forall(e => Set(e.a, e.b) == Set("x", "y")),
+      s"expected only the (x,y) audio edge, got ${audioEdges.take(5).mkString(",")}")
+  }
+
   test("pearson: identical 1.0, scaled 1.0, flat-vs-structured 0, bounded") {
     val a = Array(1f, 2f, 3f, 2f, 1f, 0f)
     assert(math.abs(AudioDedup.pearson(a, a) - 1.0) < 1e-9)

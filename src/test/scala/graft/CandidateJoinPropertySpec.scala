@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.{CandidateStage, DedupConfig, DedupPipeline, TokenizeStage}
+import graft.kernel.EditCosts
+
+/** The candidate bucket join (codegen equi-join formulation) must emit
+  * EXACTLY the pair set of the definitional algorithm: for every bucket of
+  * ≤ cap members, all oriented member pairs surviving the P5 length window;
+  * nothing from hot buckets. Checked against a driver-side brute force over
+  * randomized corpora (seeded — deterministic). */
+class CandidateJoinPropertySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = DedupPipeline.sessionDefaults(
+    SparkSession.builder().master("local[4]").appName("cand-join-prop"), 4)
+    .getOrCreate()
+
+  private def bruteForce(
+      entries: Seq[(Long, String, Int)], cap: Int, ec: EditCosts, fuzzy: Float): Set[(String, String)] = {
+    entries.groupBy(_._1).values.flatMap { bucket =>
+      if (bucket.size > cap) Nil
+      else for {
+        a <- bucket; b <- bucket
+        if a._2 != b._2
+        if a._3 < b._3 || (a._3 == b._3 && a._2 < b._2) // orientation
+        if !CandidateStage.lengthReject(a._3, b._3, ec, fuzzy)
+      } yield (a._2, b._2)
+    }.toSet
+  }
+
+  test("ngram channel pair set equals driver brute force (random corpora, caps active)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(2026)
+    for (trial <- 1 to 3) {
+      val n = 120 + rng.nextInt(120)
+      // small vocab → shared shingles + hot buckets both occur
+      val rows = (0 until n).map { i =>
+        val len = 3 + rng.nextInt(12)
+        val toks = Array.fill(len)(s"w${rng.nextInt(12)}")
+        (f"d_$i%04d", toks.mkString(" "))
+      }
+      val cfg = DedupConfig(shingleDfCap = 8)
+      val clips = rows.map { case (id, t) =>
+        graft.data.Clip(id, Array[Byte](), 16000, 1, "pcm_s16le", t) }.toDS()
+      val toks = TokenizeStage(clips, cfg).collect()
+
+      // definitional entries: one per (distinct shingle, doc)
+      val entries = toks.toSeq.filter(_.n_tokens >= cfg.shingleK).flatMap { t =>
+        graft.kernel.Hashing.distinctShingles(t.ids, cfg.shingleK)
+          .map(h => (h, t.clip_id, t.n_tokens))
+      }
+      val want = bruteForce(entries, cfg.shingleDfCap, cfg.editCosts, cfg.threshold)
+
+      val acc1 = spark.sparkContext.longAccumulator
+      val acc2 = spark.sparkContext.longAccumulator
+      val got = CandidateStage.ngramChannel(TokenizeStage(clips, cfg), cfg, acc1, acc2)
+        .collect().map(cp => (cp.p, cp.c)).toSet
+      assert(got == want,
+        s"trial $trial: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      val hotBuckets = entries.groupBy(_._1).values.count(_.size > cfg.shingleDfCap)
+      assert(acc1.value == hotBuckets, s"capped-bucket count ${acc1.value} != $hotBuckets")
+    }
+  }
+
+  test("asymmetric costs: window uses both orientations in the join table") {
+    import spark.implicits._
+    val ec = EditCosts(insert = 2f, delete = 1f, replace = 1f)
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 150).map { i =>
+      val len = 3 + rng.nextInt(14)
+      (f"a_$i%04d", Array.fill(len)(s"w${rng.nextInt(10)}").mkString(" "))
+    }
+    val cfg = DedupConfig(shingleDfCap = 10, editCosts = ec)
+    val clips = rows.map { case (id, t) =>
+      graft.data.Clip(id, Array[Byte](), 16000, 1, "pcm_s16le", t) }.toDS()
+    val toks = TokenizeStage(clips, cfg).collect()
+    val entries = toks.toSeq.filter(_.n_tokens >= cfg.shingleK).flatMap { t =>
+      graft.kernel.Hashing.distinctShingles(t.ids, cfg.shingleK)
+        .map(h => (h, t.clip_id, t.n_tokens))
+    }
+    val want = bruteForce(entries, cfg.shingleDfCap, ec, cfg.threshold)
+    val got = CandidateStage.ngramChannel(TokenizeStage(clips, cfg), cfg,
+      spark.sparkContext.longAccumulator, spark.sparkContext.longAccumulator)
+      .collect().map(cp => (cp.p, cp.c)).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+}
