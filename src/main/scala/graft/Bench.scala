@@ -67,6 +67,15 @@ object Bench {
     results("dedup_shuffle_synth") = shufSec
     spark.stop()
 
+    def jsonLine(scaling: String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+      val total = results.values.sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","clips":$nClips,"clips_per_sec":${nClips / pipeSec}%.1f,"clips_per_sec_shuffle":${nClips / shufSec}%.1f,"cpus":$cpus$scaling}"""
+    }
+    // core results first — if the scaling probe is cut short by a harness
+    // timeout, this line already carries the full query board
+    println(jsonLine(""))
+
     // two-cluster-size scaling probe (sandbox proxy for N vs 4N executors):
     // the SAME shuffle job on the SAME deterministic input at local[8] and
     // local[32]. One-shot numbers on this noise-prone host — BASELINE.md
@@ -99,11 +108,7 @@ object Bench {
       }
     }.getOrElse("")
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.values.sum
-    val cps = nClips / pipeSec
-    val cpsShuf = nClips / shufSec
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","clips":$nClips,"clips_per_sec":$cps%.1f,"clips_per_sec_shuffle":$cpsShuf%.1f,"cpus":$cpus$scaling}""")
+    // superset line (same schema + scaling) — the complete result
+    if (scaling.nonEmpty) println(jsonLine(scaling))
   }
 }

@@ -35,6 +35,17 @@ final case class DedupResult(
   */
 object DedupPipeline {
 
+  /** Builder for app mains: session defaults + a master that DEFERS to
+    * spark-submit. Under spark-submit the launcher provides spark.master
+    * (yarn/k8s/standalone/local) and forcing one here would override the
+    * cluster; standalone `java -cp` runs get local[cores]. */
+  def sessionBuilder(appName: String, cores: Int): SparkSession.Builder = {
+    val b = SparkSession.builder().appName(appName)
+    sessionDefaults(
+      if (sys.props.contains("spark.master")) b else b.master(s"local[$cores]"),
+      cores)
+  }
+
   def sessionDefaults(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")

@@ -15,9 +15,7 @@ object DedupCli {
     require(args.length >= 2,
       "usage: DedupCli <synth:N|parquet> <outDir|-> [threshold] [minhash:0|1] [audio:0|1]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = DedupPipeline.sessionDefaults(
-      SparkSession.builder().master(s"local[$cpus]").appName("graft-dedup"), cpus)
-      .getOrCreate()
+    val spark = DedupPipeline.sessionBuilder("graft-dedup", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
