@@ -83,8 +83,13 @@ object VerifyStage {
     // IDF vectors (A4) for the distributed path, computed as a token-keyed
     // join (never a broadcast dictionary — vocab is unbounded at 10^12 rows):
     // doc-freq table (A3) ⋈ exploded pattern positions → per-pattern vector
-    val patternWithIdf: Dataset[(TokRow, Array[Float])] =
-      if (!useIdf) patternToks.map(t => (t, Array.emptyFloatArray))
+    // non-IDF (default) path: salt straight off the semi-joined pattern rows
+    // — no tuple re-encode pass just to carry an empty vector
+    val patternKeyed: Dataset[PatTok] =
+      if (!useIdf)
+        patternToks.flatMap { t =>
+          (0 until salts).iterator.map(s => PatTok(t.clip_id + "#" + s, t, Array.emptyFloatArray))
+        }
       else {
         val dfTab: Dataset[(Long, Long)] = toks
           .flatMap { t =>
@@ -110,12 +115,10 @@ object VerifyStage {
           (cid, entries.map(_._3))
         }
         patternToks.joinWith(vectors, patternToks("clip_id") === vectors("_1"))
-          .map { case (t, (_, v)) => (t, v) }
+          .flatMap { case (t, (_, v)) =>
+            (0 until salts).iterator.map(s => PatTok(t.clip_id + "#" + s, t, v))
+          }
       }
-
-    val patternKeyed = patternWithIdf.flatMap { case (t, idf) =>
-      (0 until salts).iterator.map(s => PatTok(t.clip_id + "#" + s, t, idf))
-    }
 
     patternKeyed.groupByKey(_.p)
       .cogroup(candToks.groupByKey(_.p)) { (saltedKey, pIt, cIt) =>
