@@ -30,10 +30,18 @@ object AudioDedup {
 
   /** Envelope fingerprint of one clip. `chunks` are position-salted hashes
     * of `chunkBits`-wide windows of the envelope delta-sign bit stream (the
-    * LSH keys); `head` is the RMS-normalized first `headLen` samples (the
-    * bounded verify sketch — NOT the full PCM, so rows stay small no matter
-    * the clip duration). */
-  final case class AudioFpRow(clip_id: String, n_frames: Int, head: Array[Float], chunks: Array[Long])
+    * LSH keys); `head` is the RMS-normalized `headLen` samples starting at
+    * the clip's ENERGY ONSET (first frame with meaningful envelope energy —
+    * a silent or near-silent intro never anchors the verify sketch); `env`
+    * is a fixed-64-bin mean-normalized resample of the WHOLE clip's RMS
+    * envelope (time-normalized, so clips of different durations compare on
+    * the same axis). Both sketches are bounded — rows stay small no matter
+    * the clip duration. */
+  final case class AudioFpRow(
+      clip_id: String, n_frames: Int, head: Array[Float], env: Array[Float], chunks: Array[Long])
+
+  /** Bins of the whole-clip envelope sketch. */
+  val envBins = 64
 
   /** Narrow fingerprint pass. `frameMs` defaults small because the synth
     * corpus clips are 10–50 ms; real speech would use 20–30 ms frames. */
@@ -86,14 +94,41 @@ object AudioDedup {
           out.distinct.toArray
         }
 
-      // bounded verify sketch: RMS-normalized head samples
+      // whole-clip envelope sketch: 64 time-normalized bins, mean-normalized
+      // (amplitude invariance) — the verify gate that a 512-sample head
+      // alone cannot provide (shared intros / silent heads)
+      val envSk = new Array[Float](envBins)
+      var bi = 0
+      while (bi < envBins) {
+        val lo = (bi.toLong * nFrames / envBins).toInt
+        var hi2 = ((bi + 1).toLong * nFrames / envBins).toInt
+        if (hi2 <= lo) hi2 = lo + 1
+        var s = 0.0
+        var fe = lo
+        while (fe < hi2) { s += env(fe); fe += 1 }
+        envSk(bi) = (s / (hi2 - lo) / mean).toFloat
+        bi += 1
+      }
+
+      // energy onset: first frame whose envelope clears 2% of the peak
+      // envelope (relative ⇒ amplitude-scale invariant; frame-averaged ⇒
+      // robust to per-sample quantization). Digital-silence intros never
+      // anchor the head sketch.
+      var peakEnv = 0.0
+      f = 0
+      while (f < nFrames) { if (env(f) > peakEnv) peakEnv = env(f); f += 1 }
+      var onsetFrame = 0
+      while (onsetFrame < nFrames - 1 && env(onsetFrame) < 0.02 * peakEnv) onsetFrame += 1
+      val onset = onsetFrame * frameLen
+
+      // bounded verify sketch: RMS-normalized samples from the onset
       val rms = math.max(math.sqrt(rmsAll / math.max(1, samples.length)), 1e-9)
-      val hl = math.min(headLen, samples.length)
+      val hl = math.max(0, math.min(headLen, samples.length - onset))
       val head = new Array[Float](hl)
       var i = 0
-      while (i < hl) { head(i) = (samples(i) / rms).toFloat; i += 1 }
+      while (i < hl) { head(i) = (samples(onset + i) / rms).toFloat; i += 1 }
 
-      AudioFpRow(c.clip_id, nFrames, head, chunks)
+      AudioFpRow(c.clip_id, nFrames, head, envSk, chunks)
     })
   }
 
@@ -108,7 +143,12 @@ object AudioDedup {
     Hashing.mix64(packed ^ (pos.toLong * 0x9e3779b97f4a7c15L))
 
   /** Candidate pairs + correlation verify. Emits Edge(kind="audio") with
-    * `score` = mean-centered Pearson correlation of the head sketches. */
+    * `score` = mean-centered Pearson correlation of the (onset-anchored)
+    * head sketches, gated by whole-clip envelope agreement ([[envAgree]]):
+    * a pair must BOTH correlate at the sample level over its head AND share
+    * the clip-level energy shape — identical intros with divergent bodies,
+    * and silent/flat heads, cannot clear the gate on head correlation
+    * alone. */
   def pairs(fps: Dataset[AudioFpRow], minCorr: Double = 0.98,
             frameWindow: Double = 0.2, bucketCap: Int = 512,
             cappedBuckets: LongAccumulator): Dataset[Edge] = {
@@ -123,20 +163,45 @@ object AudioDedup {
       .bucketJoinPairs(entries, bucketCap, cappedBuckets, None)
       .dropDuplicates("p", "c").as[CandPair]
 
-    val a = fps.select(col("clip_id").as("p"), col("head").as("a_head"))
-    val b = fps.select(col("clip_id").as("c"), col("head").as("b_head"))
+    val a = fps.select(col("clip_id").as("p"), col("head").as("a_head"), col("env").as("a_env"))
+    val b = fps.select(col("clip_id").as("c"), col("head").as("b_head"), col("env").as("b_env"))
     cands.join(a, "p").join(b, "c")
-      // join-key columns lead: (c, p, a_head, b_head)
-      .as[(String, String, Array[Float], Array[Float])]
-      .map { case (c, p, aHead, bHead) =>
-        Edge(p, c, pearson(aHead, bHead), 0, "audio")
+      // join-key columns lead: (c, p, a_head, a_env, b_head, b_env)
+      .as[(String, String, Array[Float], Array[Float], Array[Float], Array[Float])]
+      .flatMap { case (c, p, aHead, aEnv, bHead, bEnv) =>
+        val corr = pearson(aHead, bHead)
+        if (corr >= minCorr && envAgree(aEnv, bEnv))
+          Iterator.single(Edge(p, c, corr, 0, "audio"))
+        else Iterator.empty
       }
-      .filter(_.score >= minCorr)
+  }
+
+  /** Whole-clip envelope agreement gate. When BOTH envelope sketches are
+    * flat (near-constant energy — e.g. steady tones, where the envelope
+    * carries no discriminative shape) the gate defers to the head
+    * correlation; otherwise the sketches must correlate ≥ 0.9 (exact and
+    * amplitude-scaled dups score 1.0 — both sketches are mean-normalized). */
+  def envAgree(a: Array[Float], b: Array[Float]): Boolean = {
+    @inline def variance(v: Array[Float]): Double = {
+      if (v.length == 0) return 0.0
+      var m = 0.0; var i = 0
+      while (i < v.length) { m += v(i); i += 1 }
+      m /= v.length
+      var s = 0.0; i = 0
+      while (i < v.length) { val d = v(i) - m; s += d * d; i += 1 }
+      s / v.length
+    }
+    // mean-normalized envelopes hover around 1.0, so 1e-4 variance ≈ ±1%
+    val flatA = variance(a) < 1e-4
+    val flatB = variance(b) < 1e-4
+    if (flatA && flatB) true
+    else pearson(a, b) >= 0.9
   }
 
   /** Mean-centered Pearson correlation over the overlapping prefix. Flat
-    * (zero-variance) signals only match flat signals — constant-envelope
-    * content cannot saturate the score the way raw cosine would. */
+    * (zero-variance) signals NEVER match — not even other flat signals:
+    * silence or constant DC carries no identifying content, so treating
+    * flat-vs-flat as corr 1.0 would merge unrelated silent-headed clips. */
   def pearson(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     if (n == 0) return 0.0
@@ -151,7 +216,7 @@ object AudioDedup {
       dot += x * y; va += x * x; vb += y * y
       i += 1
     }
-    if (va < 1e-12 || vb < 1e-12) { if (va < 1e-12 && vb < 1e-12) 1.0 else 0.0 }
+    if (va < 1e-12 || vb < 1e-12) 0.0
     else dot / math.sqrt(va * vb)
   }
 

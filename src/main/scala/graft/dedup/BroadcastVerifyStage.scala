@@ -17,33 +17,46 @@ import graft.kernel.{Doc, Matcher, SuffixIndex}
   */
 object BroadcastVerifyStage {
 
+  /** Executor-side per-JVM index cache, keyed by broadcast id. Capacity is
+    * ONE entry: building a new index (new broadcast = new pipeline run)
+    * evicts every older corpus copy, so repeated runs in a long-lived JVM
+    * (e.g. the bench loop) never accumulate dead (index + docs + rows)
+    * graphs. Concurrent tasks of the SAME run serialize on the monitor and
+    * reuse the first build. */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[
+    new java.util.HashMap[
       Long, (SuffixIndex, Array[Doc], Array[TokRow], scala.collection.mutable.LongMap[Int])]()
 
-  private def indexFor(bcId: Long, rows: Array[TokRow], needDf: Boolean)
+  private[dedup] def indexFor(bcId: Long, rows: Array[TokRow], needDf: Boolean)
       : (SuffixIndex, Array[Doc], Array[TokRow], scala.collection.mutable.LongMap[Int]) =
-    cache.computeIfAbsent(bcId, _ => {
-      val index = new SuffixIndex
-      val docs = new Array[Doc](rows.length)
-      // per-word document frequency (A3 sfreq) for the IDF penalty vector
-      val df = scala.collection.mutable.LongMap.empty[Int]
-      val seen = new java.util.HashSet[java.lang.Long]()
-      var i = 0
-      while (i < rows.length) {
-        index.add(rows(i).ids)
-        docs(i) = Doc(rows(i).ids, rows(i).reals, rows(i).itoks)
-        if (needDf) {
-          seen.clear()
-          rows(i).ids.foreach { id =>
-            if (seen.add(id)) df(id) = df.getOrElse(id, 0) + 1
+    cache.synchronized {
+      val hit = cache.get(bcId)
+      if (hit != null) hit
+      else {
+        val index = new SuffixIndex
+        val docs = new Array[Doc](rows.length)
+        // per-word document frequency (A3 sfreq) for the IDF penalty vector
+        val df = scala.collection.mutable.LongMap.empty[Int]
+        val seen = new java.util.HashSet[java.lang.Long]()
+        var i = 0
+        while (i < rows.length) {
+          index.add(rows(i).ids)
+          docs(i) = Doc(rows(i).ids, rows(i).reals, rows(i).itoks)
+          if (needDf) {
+            seen.clear()
+            rows(i).ids.foreach { id =>
+              if (seen.add(id)) df(id) = df.getOrElse(id, 0) + 1
+            }
           }
+          i += 1
         }
-        i += 1
+        index.sort() // eagerly, before publication — lookups are then read-only
+        val built = (index, docs, rows, df)
+        cache.clear() // keep-last-1 eviction
+        cache.put(bcId, built)
+        built
       }
-      index.sort() // eagerly, before publication — lookups are then read-only
-      (index, docs, rows, df)
-    })
+    }
 
   def apply(toks: Dataset[TokRow], cfg: DedupConfig): Dataset[Edge] = {
     val spark = toks.sparkSession

@@ -84,7 +84,7 @@ object CandidateStage {
     * side is aggregated first (map-side partial agg) and is tiny relative to
     * the corpus — it is counted on the driver into the metric accumulators,
     * so capping is never silent, and broadcast into the anti-join when small. */
-  private[dedup] def bucketJoinPairs(
+  def bucketJoinPairs(
       entries: Dataset[BucketEntry],
       cap: Int,
       cappedBuckets: LongAccumulator,
@@ -92,24 +92,24 @@ object CandidateStage {
     val spark = entries.sparkSession
     import spark.implicits._
 
-    // eager, cheap pre-pass (map-side partial agg; near-empty result): the
-    // hot-bucket metrics, which also decide whether the hot-key set is
-    // broadcastable. Upstream (toks/sigs) is persisted by the pipeline, so
-    // this extra pass re-reads cached rows, not raw input.
-    val stats = entries.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter($"df" > cap)
+    // one wide exchange, reused by the df-aggregate, the metrics pre-pass,
+    // the anti-join probe and BOTH self-join sides (identical canonical
+    // subtree → ReusedExchange). The eager metrics head() below materializes
+    // this exchange, so the later joins re-read shuffle blocks, not input.
+    val parted = entries.repartition(col("sh"))
+    val counts = parted.groupBy("sh").agg(count(lit(1)).as("df"))
+    val stats = counts.filter($"df" > cap)
       .agg(count(lit(1)).as("buckets"),
         coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L)).as("pairs")).head()
     val hotBuckets = stats.getLong(0)
     cappedBuckets.add(hotBuckets)
     cappedPairsLost.foreach(_.add(stats.getLong(1)))
 
-    // one wide exchange, reused by the df-aggregate, the anti-join probe and
-    // BOTH self-join sides (identical canonical subtree → ReusedExchange)
-    val parted = entries.repartition(col("sh"))
-    val counts = parted.groupBy("sh").agg(count(lit(1)).as("df"))
     val hot0 = counts.filter($"df" > cap).select("sh")
-    val hotKeys = if (hotBuckets <= 4000000L) broadcast(hot0) else hot0
+    // broadcast the hot-key set only while it is genuinely small: 1M Long
+    // keys ≈ tens of MB as a HashedRelation — beyond that, let the anti-join
+    // shuffle (AQE can still pick a broadcast if runtime stats allow)
+    val hotKeys = if (hotBuckets <= 1000000L) broadcast(hot0) else hot0
     val cold = parted.join(hotKeys, Seq("sh"), "left_anti")
 
     val a = cold.select($"sh", $"id".as("a_id"), $"n".as("a_n"), $"mx".as("a_mx"))

@@ -146,8 +146,16 @@ object DedupPipeline {
       } else {
         // beyond-memory path: signatures → LSH/shingle candidates → verify
         // persisted: the minhash channel reads signatures twice (hot-bucket
-        // stats pre-pass + the bucket join itself)
-        lazy val sigs = checkpointed("signatures", SignatureStage(toks, cfg))(_.as[SigRow]).persist()
+        // stats pre-pass + the bucket join itself). `sigsForced` tracks
+        // whether the lazy val ever initialized: on a resumed run whose
+        // candidates checkpoint was restored, CandidateStage never runs and
+        // unpersisting here would otherwise FORCE the full signature stage
+        // (compute + checkpoint write) just to throw it away.
+        var sigsForced = false
+        lazy val sigs = {
+          sigsForced = true
+          checkpointed("signatures", SignatureStage(toks, cfg))(_.as[SigRow]).persist()
+        }
         val sc = spark.sparkContext
         val cappedShingleBuckets = sc.longAccumulator("cappedShingleBuckets")
         val cappedShinglePairs = sc.longAccumulator("cappedShinglePairsLost")
@@ -172,7 +180,7 @@ object DedupPipeline {
           edgesV.count()
         }
         cands.unpersist()
-        if (cfg.useMinhashChannel) sigs.unpersist() // guard: don't force the lazy
+        if (sigsForced) sigs.unpersist()
         edgesV
       }
     // optional multimodal channel: audio-fingerprint near-dups join the
@@ -193,11 +201,17 @@ object DedupPipeline {
       }
     val nEdges = allEdges.count()
 
-    // Stage 3: connected components
+    // Stage 3: connected components. The vertex universe is the INPUT clip
+    // table, not the tokenized rows: clips dropped by TokenizeStage (empty
+    // or over-length transcripts) still get singleton ClusterRows — and, when
+    // the
+    // audio channel is on, audio edges incident to tokenize-dropped clips
+    // keep their endpoints, so no input row ever silently vanishes from the
+    // clusters (or from the Survivors output built on them).
     var clusters: Dataset[ClusterRow] = null
     timed("cluster", nEdges) {
       clusters = checkpointed("clusters",
-        ConnectedComponents(allEdges, toks.select($"clip_id").toDF(), cfg.ccMaxIterations,
+        ConnectedComponents(allEdges, clips.select($"clip_id").toDF(), cfg.ccMaxIterations,
           cfg.ccLocalEdgeCap))(_.as[ClusterRow])
         .persist()
       clusters.count()

@@ -19,7 +19,8 @@ import graft.kernel.{Costs, EditCosts, EditDistanceKernel}
   *    (/root/reference/src/fuzzy_match.cc:613-669: penalize redundancy via
   *    pairwise plain edit distance, same kernel) recast as medoid selection;
   *    quadratic per cluster, bounded by `maxClusterForMedoid` (bigger
-  *    clusters fall back to min-id — counted, never silent).
+  *    clusters fall back to min-id — counted into the `fallbackClusters`
+  *    accumulator when one is supplied, never silent).
   */
 object Survivors {
 
@@ -39,7 +40,8 @@ object Survivors {
       clusters: Dataset[ClusterRow],
       toks: Dataset[TokRow],
       ec: EditCosts = EditCosts(),
-      maxClusterForMedoid: Int = 64): Dataset[Clip] = {
+      maxClusterForMedoid: Int = 64,
+      fallbackClusters: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Clip] = {
     val spark = clips.sparkSession
     import spark.implicits._
 
@@ -49,7 +51,8 @@ object Survivors {
 
     val reps = member.groupByKey(_._1).mapGroups { (clusterId, it) =>
       val ms = it.toArray.sortBy(_._2)
-      if (ms.length == 1 || ms.length > maxClusterForMedoid) clusterId
+      if (ms.length > maxClusterForMedoid) { fallbackClusters.foreach(_.add(1)); clusterId }
+      else if (ms.length == 1) clusterId
       else {
         // mean pairwise plain edit distance, normalized like the reference's
         // contrastive penalty (same-kernel: diffWord over the pair lengths)

