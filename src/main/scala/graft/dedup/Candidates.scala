@@ -197,6 +197,178 @@ object CandidateStage {
   @inline def orientPair(id1: String, n1: Int, id2: String, n2: Int): CandPair =
     if (n1 < n2 || (n1 == n2 && id1 <= id2)) CandPair(id1, id2) else CandPair(id2, id1)
 
+  // ------------------------------------------------------------------
+  // Cross-table candidate generation (query table vs corpus table) — the
+  // shuffle-path retrieval's generator (FuzzyRetrieval.topkShuffle). The
+  // pattern side is FIXED (the query), so pairs are not length-oriented and
+  // the P5 window needs BOTH bounds per query length.
+  // ------------------------------------------------------------------
+
+  /** Query-side inverted-index entry: bucket hash, query id + token count,
+    * and the P5 window [mn, mx] of admissible candidate lengths. */
+  final case class QueryEntry(sh: Long, id: String, n: Int, mn: Int, mx: Int)
+
+  /** `(minAccept(n), maxAccept(n))` per pattern length n — the two-sided P5
+    * window for the fixed pattern-is-query direction. */
+  def acceptWindowTable(ec: EditCosts, fuzzy: Float, maxN: Int): (Array[Int], Array[Int]) = {
+    val mn = new Array[Int](maxN + 1)
+    val mx = new Array[Int](maxN + 1)
+    var n = 1
+    while (n <= maxN) {
+      var lo = n
+      var hi = n
+      var m = 1
+      while (m <= maxN) {
+        if (!SuffixIndex.theoreticalRejection(n, m, ec, fuzzy)) {
+          if (m < lo) lo = m
+          if (m > hi) hi = m
+        }
+        m += 1
+      }
+      mn(n) = lo
+      mx(n) = hi
+      n += 1
+    }
+    (mn, mx)
+  }
+
+  /** Cross-side bucket join: query entries ⋈ corpus entries on the bucket
+    * hash with the two-sided P5 window as integer join conditions. Hot
+    * buckets are dropped per SIDE above `cap` and counted (a hot corpus
+    * bucket multiplies into every query probing it — the same quadratic
+    * wall as the self-join case; the MinHash channel recovers
+    * probabilistically). Both exchanges are reused across the df-aggregate,
+    * the anti-join and the join side (same discipline as
+    * [[bucketJoinPairs]]). Emitted pairs: p = query id, c = corpus id
+    * (self pairs KEPT — a query present in the corpus legitimately matches
+    * itself, as in the reference). */
+  def crossBucketJoinPairs(
+      qEntries: Dataset[QueryEntry],
+      cEntries: Dataset[BucketEntry],
+      cap: Int,
+      cappedBuckets: LongAccumulator): Dataset[CandPair] = {
+    val spark = qEntries.sparkSession
+    import spark.implicits._
+
+    def coldSide[T](entries: Dataset[T]): Dataset[T] = {
+      val parted = entries.repartition(col("sh"))
+      val counts = parted.groupBy("sh").agg(count(lit(1)).as("df"))
+      val hotBuckets = counts.filter($"df" > cap).count()
+      cappedBuckets.add(hotBuckets)
+      val hot0 = counts.filter($"df" > cap).select("sh")
+      val hotKeys = if (hotBuckets <= 1000000L) broadcast(hot0) else hot0
+      parted.join(hotKeys, Seq("sh"), "left_anti").as[T](entries.encoder)
+    }
+
+    val q = coldSide(qEntries)
+      .select($"sh", $"id".as("q_id"), $"mn".as("q_mn"), $"mx".as("q_mx"))
+    val c = coldSide(cEntries)
+      .select($"sh".as("c_sh"), $"id".as("c_id"), $"n".as("c_n"))
+    q.join(c, $"sh" === $"c_sh" && $"c_n" >= $"q_mn" && $"c_n" <= $"q_mx")
+      .select($"q_id".as("p"), $"c_id".as("c"))
+      .as[CandPair]
+  }
+
+  /** Cross-table channel A: exact shingle join (queries with ≥ k tokens —
+    * the reference registers no ranges shorter than the clamped min-subseq
+    * length, so a ≥ k-token pattern's candidates always share a k-gram). */
+  def crossNgramChannel(
+      qToks: Dataset[TokRow],
+      cToks: Dataset[TokRow],
+      cfg: DedupConfig,
+      cappedBuckets: LongAccumulator): Dataset[CandPair] = {
+    val spark = qToks.sparkSession
+    import spark.implicits._
+    val k = cfg.shingleK
+    val (mn, mx) = acceptWindowTable(cfg.editCosts, cfg.threshold, cfg.maxTokensInPattern)
+    val qEntries = qToks
+      .filter(_.n_tokens >= k)
+      .flatMap(t => Hashing.distinctShingles(t.ids, k).iterator
+        .map(h => QueryEntry(h, t.clip_id, t.n_tokens, mn(t.n_tokens), mx(t.n_tokens))))
+    val cEntries = cToks
+      .filter(_.n_tokens >= k)
+      .flatMap(t => Hashing.distinctShingles(t.ids, k).iterator
+        .map(h => BucketEntry(h, t.clip_id, t.n_tokens, 0)))
+    crossBucketJoinPairs(qEntries, cEntries, cfg.shingleDfCap, cappedBuckets)
+  }
+
+  /** Cross-table channel B: MinHash band buckets (the probabilistic
+    * recovery path for pairs whose shared shingles are all hot). */
+  def crossMinhashChannel(
+      qSigs: Dataset[SigRow],
+      cSigs: Dataset[SigRow],
+      cfg: DedupConfig,
+      cappedBuckets: LongAccumulator): Dataset[CandPair] = {
+    val spark = qSigs.sparkSession
+    import spark.implicits._
+    val (mn, mx) = acceptWindowTable(cfg.editCosts, cfg.threshold, cfg.maxTokensInPattern)
+    def bandHash(h: Long, bd: Int): Long = Hashing.mix64(h ^ (bd * 0x9e3779b97f4a7c15L))
+    val qEntries = qSigs.flatMap(s => s.band_hashes.iterator.zipWithIndex
+      .map { case (h, bd) => QueryEntry(bandHash(h, bd), s.clip_id, s.n_tokens,
+        mn(s.n_tokens), mx(s.n_tokens)) })
+    val cEntries = cSigs.flatMap(s => s.band_hashes.iterator.zipWithIndex
+      .map { case (h, bd) => BucketEntry(bandHash(h, bd), s.clip_id, s.n_tokens, 0) })
+    crossBucketJoinPairs(qEntries, cEntries, cfg.bandDfCap, cappedBuckets)
+  }
+
+  /** Cross-table channel C: tiny queries (< k tokens). A tiny pattern's
+    * clamped min-subsequence equals its own length, so its candidates must
+    * contain the FULL query token sequence contiguously — broadcast the
+    * tiny query set and scan the corpus. */
+  def crossTinyChannel(
+      qToks: Dataset[TokRow],
+      cToks: Dataset[TokRow],
+      cfg: DedupConfig): Dataset[CandPair] = {
+    val spark = qToks.sparkSession
+    import spark.implicits._
+    val k = cfg.shingleK
+    val fuzzy = cfg.threshold
+    val ec = cfg.editCosts
+
+    val tiny: Array[(String, Array[Long], Int)] = qToks
+      .filter(_.n_tokens < k)
+      .map(t => (t.clip_id, t.ids, t.n_tokens))
+      .take(cfg.tinyPatternBroadcastCap + 1)
+    require(tiny.length <= cfg.tinyPatternBroadcastCap,
+      s"tiny-query set exceeds broadcast cap ${cfg.tinyPatternBroadcastCap}; raise it or shrink shingleK")
+    if (tiny.isEmpty) return spark.emptyDataset[CandPair]
+    val bc = spark.sparkContext.broadcast(tiny)
+
+    cToks.flatMap { row =>
+      val out = new scala.collection.mutable.ArrayBuffer[CandPair]
+      val tinies = bc.value
+      var t = 0
+      while (t < tinies.length) {
+        val (tid, tids, tn) = tinies(t)
+        if (!SuffixIndex.theoreticalRejection(tn, row.n_tokens, ec, fuzzy) &&
+            containsSubsequence(row.ids, tids))
+          out += CandPair(tid, row.clip_id)
+        t += 1
+      }
+      out.iterator
+    }
+  }
+
+  /** Union of cross-table channels (queries vs corpus), deduplicated. */
+  def cross(
+      qToks: Dataset[TokRow],
+      cToks: Dataset[TokRow],
+      qSigs: => Dataset[SigRow],
+      cSigs: => Dataset[SigRow],
+      cfg: DedupConfig,
+      cappedShingleBuckets: LongAccumulator,
+      cappedBandBuckets: LongAccumulator): Dataset[CandPair] = {
+    val spark = qToks.sparkSession
+    import spark.implicits._
+    var cands = spark.emptyDataset[CandPair]
+    if (cfg.useNgramChannel)
+      cands = cands.union(crossNgramChannel(qToks, cToks, cfg, cappedShingleBuckets))
+    if (cfg.useMinhashChannel)
+      cands = cands.union(crossMinhashChannel(qSigs, cSigs, cfg, cappedBandBuckets))
+    cands = cands.union(crossTinyChannel(qToks, cToks, cfg))
+    cands.dropDuplicates("p", "c").as[CandPair]
+  }
+
   /** Contiguous-substring containment of `needle` in `hay`. */
   def containsSubsequence(hay: Array[Long], needle: Array[Long]): Boolean = {
     if (needle.length == 0 || needle.length > hay.length) return false

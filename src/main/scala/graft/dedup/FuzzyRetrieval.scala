@@ -111,6 +111,119 @@ object FuzzyRetrieval {
     }
   }
 
+  /** Beyond-memory top-k fuzzy retrieval — the scale path when the CORPUS
+    * does not fit in executor memory: instead of one broadcast index,
+    * candidate pairs come from the cross-table shingle + MinHash LSH
+    * channels ([[CandidateStage.cross]], hot buckets capped AND counted)
+    * and each query's candidate group is verified by the same reference
+    * matcher kernel as the dedup verify stage
+    * ([[VerifyStage.scoreGroups]]: per-group suffix-array index, coverage
+    * rejection, weighted DP, quantized score). All matches ≥ threshold are
+    * scored per candidate independently, then ranked:
+    *  - default: `row_number` window per query on (score desc, s_id asc) —
+    *    fully distributed top-k;
+    *  - contrastive (λ > 0): the per-query result set (already small — only
+    *    above-threshold matches) is reranked by the reference's exact
+    *    MMR-style selection in a `mapGroups` over the query id.
+    * Candidate recall vs the broadcast path is the LSH channels' recall —
+    * the same ≥ 0.99 envelope as the dedup pipeline (exact for pairs
+    * sharing any cold k-shingle; FuzzyRetrievalSpec pins set equality on
+    * the synthetic corpus). Rank ties break by s_id here vs corpus
+    * insertion order in the broadcast path. */
+  def topkShuffle(
+      queries: Dataset[Clip],
+      corpus: Dataset[Clip],
+      cfg: DedupConfig,
+      numberOfMatches: Int = 5,
+      noPerfect: Boolean = false,
+      contrastiveFactor: Float = 0f,
+      contrastReduce: Matcher.ContrastReduce = Matcher.Mean,
+      contrastBuffer: Int = -1): Dataset[RetrievalRow] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+
+    val qToks = TokenizeStage(queries, cfg).persist()
+    val cToks = TokenizeStage(corpus, cfg).persist()
+    lazy val qSigs = SignatureStage(qToks, cfg)
+    lazy val cSigs = SignatureStage(cToks, cfg)
+    val sc = spark.sparkContext
+    val cands = CandidateStage.cross(qToks, cToks, qSigs, cSigs, cfg,
+      sc.longAccumulator("retrievalCappedShingleBuckets"),
+      sc.longAccumulator("retrievalCappedBandBuckets"))
+
+    // verify: patterns = queries with ≥1 candidate; candidates = corpus rows
+    val params = Matcher.Params(
+      fuzzy = cfg.threshold,
+      numberOfMatches = 0, // all above-threshold; ranked below
+      noPerfect = noPerfect,
+      minSubseqLength = cfg.minSubseqLength,
+      minSubseqRatio = cfg.minSubseqRatio,
+      vocabIdfPenalty = cfg.vocabIdfPenalty,
+      editCosts = cfg.editCosts,
+      maxTokensInPattern = cfg.maxTokensInPattern)
+    val useIdf = cfg.vocabIdfPenalty != 0f
+    val corpusSize = if (useIdf) cToks.count() else 0L
+    val idfMax = if (useIdf) math.log(corpusSize.toDouble).toFloat else 0.01f
+    val salts = math.max(1, cfg.verifySalts)
+
+    val candToks = cands
+      .joinWith(cToks, cands("c") === cToks("clip_id"))
+      .map { case (cp, t) =>
+        val salt =
+          if (salts == 1) 0
+          else (Hashing.fnv1a64(t.clip_id) % salts).toInt.abs
+        CandTok(cp.p + "#" + salt, t)
+      }
+    val patternIds = cands.select("p").distinct()
+    val patternToks = qToks
+      .join(patternIds, qToks("clip_id") === patternIds("p"), "left_semi")
+      .as[TokRow]
+    val patternKeyed = VerifyStage.saltedPatterns(patternToks, cToks, useIdf, corpusSize, salts)
+    val scored = VerifyStage.scoreGroups(patternKeyed, candToks, params, idfMax)
+
+    val ranked =
+      if (contrastiveFactor <= 0f) {
+        val w = Window.partitionBy(col("a")).orderBy(col("score").desc, col("b").asc)
+        val top = scored.toDF()
+          .withColumn("rank", row_number().over(w))
+        val limited =
+          if (numberOfMatches > 0) top.filter(col("rank") <= numberOfMatches) else top
+        limited.select(col("a").as("query_id"), col("rank").cast("int").as("rank"),
+          col("b").as("s_id"), col("score"), col("lcs").as("max_subseq"))
+          .as[RetrievalRow]
+      } else {
+        // contrastive rerank: per-query result sets are small (only
+        // above-threshold matches), so collect each group and run the
+        // reference's exact selection (Matcher.contrastiveRerank) locally
+        val rerankParams = params.copy(
+          numberOfMatches = numberOfMatches,
+          contrastiveFactor = contrastiveFactor,
+          contrastReduce = contrastReduce,
+          contrastBuffer = contrastBuffer)
+        scored
+          .joinWith(cToks, scored("b") === cToks("clip_id"))
+          .map { case (e, t) => (e.a, e.b, e.score, e.lcs, t.ids) }
+          .groupByKey(_._1)
+          .flatMapGroups { (qid, it) =>
+            val ms = it.toArray
+            val docs = ms.map(m => Doc(m._5, Array.empty, Array.empty))
+            implicit val ord: Ordering[graft.kernel.MatchResult] =
+              Ordering.by(m => (m.score, -m.sIdx))
+            val queue = scala.collection.mutable.PriorityQueue.empty[graft.kernel.MatchResult]
+            ms.zipWithIndex.foreach { case (m, i) =>
+              queue.enqueue(graft.kernel.MatchResult(m._3, 0.0, m._4, i, m._5.length))
+            }
+            Matcher.contrastiveRerank(queue, docs, rerankParams)
+              .iterator.zipWithIndex.map { case (m, r) =>
+                RetrievalRow(qid, r + 1, ms(m.sIdx)._2, m.score, m.maxSubseq)
+              }
+          }
+      }
+    ranked
+  }
+
   /** Best-subsequence retrieval of every query row against the corpus
     * (reference `-a subseq`): at most one row per query — the corpus
     * sentence best matching the heaviest verifiable query subsequence. */

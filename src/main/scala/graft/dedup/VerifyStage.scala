@@ -80,46 +80,75 @@ object VerifyStage {
       .join(patternIds, toks("clip_id") === patternIds("p"), "left_semi")
       .as[TokRow]
 
-    // IDF vectors (A4) for the distributed path, computed as a token-keyed
-    // join (never a broadcast dictionary — vocab is unbounded at 10^12 rows):
-    // doc-freq table (A3) ⋈ exploded pattern positions → per-pattern vector
-    // non-IDF (default) path: salt straight off the semi-joined pattern rows
-    // — no tuple re-encode pass just to carry an empty vector
-    val patternKeyed: Dataset[PatTok] =
-      if (!useIdf)
-        patternToks.flatMap { t =>
-          (0 until salts).iterator.map(s => PatTok(t.clip_id + "#" + s, t, Array.emptyFloatArray))
-        }
-      else {
-        val dfTab: Dataset[(Long, Long)] = toks
-          .flatMap { t =>
-            val seen = new java.util.HashSet[java.lang.Long]()
-            t.ids.iterator.filter(id => seen.add(id)).map(id => (id, 1L))
-          }
-          .groupByKey(_._1)
-          .reduceGroups((a, b) => (a._1, a._2 + b._2))
-          .map(_._2)
-        val exploded: Dataset[(String, Int, Long)] =
-          patternToks.flatMap(t => t.ids.iterator.zipWithIndex.map { case (id, pos) => (t.clip_id, pos, id) })
-        val n = corpusSize
-        val withIdf: Dataset[(String, Int, Float)] = exploded
-          .joinWith(dfTab, exploded("_3") === dfTab("_1"))
-          .map { case ((cid, pos, _), (_, df)) =>
-            // float division then log, matching the oracle's idfPenalty
-            // (oracle/FuzzyMatcher.scala — math.log(n / sfreq.toFloat))
-            (cid, pos, math.log((n.toFloat / df.toFloat).toDouble).toFloat)
-          }
-        val vectors = withIdf.groupByKey(_._1).mapGroups { (cid, it) =>
-          val entries = it.toArray
-          java.util.Arrays.sort(entries, Ordering.by((e: (String, Int, Float)) => e._2))
-          (cid, entries.map(_._3))
-        }
-        patternToks.joinWith(vectors, patternToks("clip_id") === vectors("_1"))
-          .flatMap { case (t, (_, v)) =>
-            (0 until salts).iterator.map(s => PatTok(t.clip_id + "#" + s, t, v))
-          }
-      }
+    val patternKeyed = saltedPatterns(patternToks, toks, useIdf, corpusSize, salts)
+    scoreGroups(patternKeyed, candToks, params, idfMax)
+  }
 
+  /** Salted pattern rows with their IDF penalty vectors (A4), shared with
+    * the shuffle-path retrieval. IDF is computed as a token-keyed join
+    * (never a broadcast dictionary — vocab is unbounded at 10^12 rows):
+    * doc-freq table (A3) over `dfSource` ⋈ exploded pattern positions →
+    * per-pattern vector. Non-IDF (default) path: salt straight off the
+    * pattern rows — no tuple re-encode pass just to carry an empty vector.
+    * Pattern tokens absent from `dfSource` carry 0 idf (the reference's
+    * unknown-word default, fuzzy_match.cc:367-390) via a left join. */
+  private[graft] def saltedPatterns(
+      patternToks: Dataset[TokRow],
+      dfSource: Dataset[TokRow],
+      useIdf: Boolean,
+      corpusSize: Long,
+      salts: Int): Dataset[PatTok] = {
+    val spark = patternToks.sparkSession
+    import spark.implicits._
+    if (!useIdf)
+      patternToks.flatMap { t =>
+        (0 until salts).iterator.map(s => PatTok(t.clip_id + "#" + s, t, Array.emptyFloatArray))
+      }
+    else {
+      val dfTab: Dataset[(Long, Long)] = dfSource
+        .flatMap { t =>
+          val seen = new java.util.HashSet[java.lang.Long]()
+          t.ids.iterator.filter(id => seen.add(id)).map(id => (id, 1L))
+        }
+        .groupByKey(_._1)
+        .reduceGroups((a, b) => (a._1, a._2 + b._2))
+        .map(_._2)
+      val exploded: Dataset[(String, Int, Long)] =
+        patternToks.flatMap(t => t.ids.iterator.zipWithIndex.map { case (id, pos) => (t.clip_id, pos, id) })
+      val n = corpusSize
+      val withIdf: Dataset[(String, Int, Float)] = exploded
+        .joinWith(dfTab, exploded("_3") === dfTab("_1"), "left_outer")
+        .map { case ((cid, pos, _), dfRow) =>
+          // float division then log, matching the oracle's idfPenalty
+          // (oracle/FuzzyMatcher.scala — math.log(n / sfreq.toFloat))
+          val v =
+            if (dfRow == null) 0f
+            else math.log((n.toFloat / dfRow._2.toFloat).toDouble).toFloat
+          (cid, pos, v)
+        }
+      val vectors = withIdf.groupByKey(_._1).mapGroups { (cid, it) =>
+        val entries = it.toArray
+        java.util.Arrays.sort(entries, Ordering.by((e: (String, Int, Float)) => e._2))
+        (cid, entries.map(_._3))
+      }
+      patternToks.joinWith(vectors, patternToks("clip_id") === vectors("_1"))
+        .flatMap { case (t, (_, v)) =>
+          (0 until salts).iterator.map(s => PatTok(t.clip_id + "#" + s, t, v))
+        }
+    }
+  }
+
+  /** The scoring cogroup, shared with the shuffle-path retrieval
+    * ([[graft.dedup.FuzzyRetrieval.topkShuffle]]): per salted pattern group,
+    * build a local suffix-array index over the candidate rows and run the
+    * reference matcher end-to-end (J1/J2/A1/A2 + P6 + F5/O3 + F7 + P8). */
+  private[graft] def scoreGroups(
+      patternKeyed: Dataset[PatTok],
+      candToks: Dataset[CandTok],
+      params: Matcher.Params,
+      idfMax: Float): Dataset[Edge] = {
+    val spark = patternKeyed.sparkSession
+    import spark.implicits._
     patternKeyed.groupByKey(_.p)
       .cogroup(candToks.groupByKey(_.p)) { (saltedKey, pIt, cIt) =>
         if (!pIt.hasNext) Iterator.empty

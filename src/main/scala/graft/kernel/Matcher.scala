@@ -123,7 +123,7 @@ object Matcher {
     * argmax(score − λ·penalty) where penalty is the mean/max pairwise
     * quantized plain-edit-distance similarity against already-selected
     * matches, memoized per pair. */
-  private def contrastiveRerank(
+  private[graft] def contrastiveRerank(
       result: mutable.PriorityQueue[MatchResult],
       docs: Int => Doc,
       params: Params): List[MatchResult] = {

@@ -328,6 +328,19 @@ object PipelineQueries {
         round(col("score"), 4).as("score"), col("max_subseq").cast("bigint").as("max_subseq"))
   }
 
+  /** The beyond-memory variant of q_fuzzy_topk: same queries, same corpus,
+    * same semantics — but candidates come from the cross-table LSH/shingle
+    * channels and verification runs in the cogroup kernel, never holding
+    * the corpus in one place (the 10^12-row retrieval path). */
+  def qFuzzyTopkShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = documentsAsClips(spark, dir)
+    val queries = corpus.filter(col("clip_id").cast("long") < 50)
+    FuzzyRetrieval.topkShuffle(queries, corpus, DedupConfig(threshold = 0.6f), numberOfMatches = 5)
+      .toDF()
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"), col("s_id"),
+        round(col("score"), 4).as("score"), col("max_subseq").cast("bigint").as("max_subseq"))
+  }
+
   /** Best-subsequence retrieval (`-a subseq`, J4 distributed): same 50
     * queries; each finds the corpus sentence containing its heaviest
     * verifiable subsequence plus the detokenized surface span. */
@@ -357,6 +370,7 @@ object PipelineQueries {
 
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_topk" -> (qFuzzyTopk _),
+    "q_fuzzy_topk_shuffle" -> (qFuzzyTopkShuffle _),
     "q_subseq_retrieval" -> (qSubseqRetrieval _),
     "q_minhash_sigs" -> (qMinhashSigs _),
     "q_simhash_pairs" -> (qSimhashPairs _),

@@ -203,16 +203,29 @@ final class FuzzyMatcher(pt: Int = PT.default, maxTokensInPattern: Int = 300) {
 }
 
 object FuzzyMatcher {
-  /** Reload a matcher written by `save`; throws on bad magic (mirrors the
-    * reference's FMI header check, fuzzy_matcher_binarization.cc:36-40). */
+  /** Format versions this loader understands. The header is "GFM" + one
+    * version character, mirroring the reference's "FMI" + version-char
+    * header and its multi-version load path
+    * (/root/reference/src/fuzzy_matcher_binarization.cc:17-30,36-40;
+    * suffix_array.hxx:56-91 loads both v0 and v1 archives): when the layout
+    * next changes, bump `save` to '2' and add the '2' branch here so both
+    * generations of index files keep loading. */
+  val supportedVersions: Set[Char] = Set('1')
+
+  /** Reload a matcher written by `save`; throws on bad magic or an
+    * unsupported version (with a message naming the versions this build
+    * reads). */
   def load(path: String): FuzzyMatcher = {
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       new java.io.FileInputStream(path)))
     try {
       val magic = new Array[Byte](4)
       in.readFully(magic)
-      require(new String(magic, java.nio.charset.StandardCharsets.US_ASCII) == "GFM1",
-        s"$path is not a GFM1 matcher file")
+      val header = new String(magic, java.nio.charset.StandardCharsets.US_ASCII)
+      require(header.startsWith("GFM"), s"$path is not a GFM matcher file (header '$header')")
+      val version = header(3)
+      require(supportedVersions.contains(version),
+        s"$path is GFM version '$version'; this build reads ${supportedVersions.mkString(",")}")
       val pt = in.readInt()
       val maxTok = in.readInt()
       def readStr(): String = {

@@ -42,9 +42,12 @@ class FuzzyRetrievalSpec extends AnyFunSuite {
     clips(tm1, i => (i + 1).toString).toDS()
   }
 
-  // fixture harness config (test.cc:38-39): min_subseq_length=2, ratio=0
+  // fixture harness config (test.cc:38-39): min_subseq_length=2, ratio=0.
+  // shingleK must track the effective min-subsequence length for the exact
+  // channel's recall guarantee (reference candidates share an msl-gram), so
+  // the shuffle-path tests need k=2 here; the broadcast path ignores it.
   private def cfg(fuzzy: Float) =
-    DedupConfig(threshold = fuzzy, minSubseqLength = 2, minSubseqRatio = 0f)
+    DedupConfig(threshold = fuzzy, minSubseqLength = 2, minSubseqRatio = 0f, shingleK = 2)
 
   private def check(
       fuzzy: Float,
@@ -129,5 +132,58 @@ class FuzzyRetrievalSpec extends AnyFunSuite {
     assert(got(0).s_id == "1")
     assert(got(0).max_subseq == 4)
     assert(got(0).subseq_surface == "aa bb cc dd")
+  }
+
+  // ---- the beyond-memory (shuffle/LSH) path ----
+
+  test("shuffle path equals broadcast path on the synthetic near-dup corpus (all matches)") {
+    val corpus = graft.data.SynthCorpus.generate(spark, 400)
+    val queries = corpus.filter(c => c.clip_id.stripPrefix("clip_").toLong % 5 == 0)
+    val c = DedupConfig(threshold = 0.8f)
+    def key(r: graft.dedup.RetrievalRow) = (r.query_id, r.s_id, r.score, r.max_subseq)
+    val bc = FuzzyRetrieval.topk(queries, corpus, c, numberOfMatches = 0)
+      .collect().map(key).toSet
+    val sh = FuzzyRetrieval.topkShuffle(queries, corpus, c, numberOfMatches = 0)
+      .collect().map(key).toSet
+    assert(bc.nonEmpty, "vacuous: broadcast path returned nothing")
+    assert(sh == bc, s"missing=${(bc -- sh).take(5)} extra=${(sh -- bc).take(5)}")
+  }
+
+  test("shuffle path: tm1 NOLIMIT match set (set equality; ranks by score)") {
+    import spark.implicits._
+    val queries = clips(Seq("aa bb cc dd"), _ => "q").toDS()
+    val got = FuzzyRetrieval.topkShuffle(queries, corpusDs, cfg(0.5f), 0, noPerfect = true)
+      .collect().sortBy(_.rank)
+    val want = Seq((0.99, "3"), (0.80, "6"), (0.80, "7"), (0.75, "4"), (0.75, "5"), (0.66, "2"))
+    assert(got.map(_.s_id).toSet == want.map(_._2).toSet,
+      s"ids: got ${got.map(r => (r.score, r.s_id)).mkString(",")}")
+    // scores agree with the fixture per id; ranks are (score desc, s_id asc)
+    val byId = got.map(r => r.s_id -> r.score).toMap
+    want.foreach { case (es, id) => assert(math.abs(byId(id) - es) <= 0.009, s"$id: ${byId(id)}") }
+    assert(got.map(_.rank).toSeq == (1 to got.length))
+    assert(got.sortBy(r => (-r.score, r.s_id)).map(_.rank).toSeq == (1 to got.length).toSeq)
+  }
+
+  test("shuffle path: tiny query reaches corpus rows by containment") {
+    import spark.implicits._
+    // "." tokenizes to a single token; its candidates must come from the
+    // tiny-query broadcast channel (no shingles exist)
+    val queries = clips(Seq("."), _ => "q").toDS()
+    val got = FuzzyRetrieval.topkShuffle(queries, corpusDs, cfg(0.9f), 0).collect()
+    assert(got.exists(r => r.s_id == "8" && r.score == 1.0),
+      s"tiny query missed its perfect corpus match: ${got.mkString(",")}")
+  }
+
+  test("shuffle path: contrastive rerank order matches the broadcast path") {
+    import spark.implicits._
+    val corpus = clips(Seq("a b c d", "b c d", "d e f"), _.toString).toDS()
+    val queries = clips(Seq("a b c d e f"), _ => "q").toDS()
+    val c = DedupConfig(threshold = 0f, minSubseqLength = 0, minSubseqRatio = 0f,
+      pt = PT.none, editCosts = EditCosts(1f, 1f, 1f))
+    val got = FuzzyRetrieval.topkShuffle(queries, corpus, c, numberOfMatches = 10,
+      contrastiveFactor = 1f, contrastReduce = Matcher.Mean)
+      .collect().sortBy(_.rank)
+    assert(got.map(_.s_id).toSeq == Seq("0", "2", "1"),
+      s"contrastive order: ${got.map(_.s_id).mkString(",")}")
   }
 }

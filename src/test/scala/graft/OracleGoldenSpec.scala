@@ -358,5 +358,13 @@ class OracleGoldenSpec extends AnyFunSuite {
       re.idfPenalty(re.encode("aa bb cc dd")).toSeq)
     // corrupt/missing files throw (test.cc:22-26)
     assertThrows[Exception](FuzzyMatcher.load(path + ".missing"))
+    // unsupported future version is rejected with a message naming it, not
+    // misparsed (the reference's version-char dispatch, suffix_array.hxx:56-91)
+    val v9 = java.nio.file.Files.createTempFile("graft-oracle", ".gfm")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    bytes(3) = '9'.toByte
+    java.nio.file.Files.write(v9, bytes)
+    val e = intercept[IllegalArgumentException](FuzzyMatcher.load(v9.toString))
+    assert(e.getMessage.contains("version '9'"), e.getMessage)
   }
 }
