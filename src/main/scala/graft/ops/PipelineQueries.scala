@@ -111,33 +111,37 @@ object PipelineQueries {
     import org.apache.spark.sql.expressions.Window
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val dim = e.head()._2.length
-    val planes: Array[Array[Double]] = {
-      val rng = new java.util.Random(7L)
-      Array.fill(bands * bits)(Array.fill(dim)(rng.nextGaussian()))
-    }
-    val bc = spark.sparkContext.broadcast(planes)
     val cappedBuckets = spark.sparkContext.longAccumulator("annLshCappedBuckets")
 
-    // one (bucket, id, emb, norm) row per band; bucket key = band ++ sketch
-    val sketched = e.flatMap { case (id, emb) =>
-      val ps = bc.value
-      var nrm = 0.0
-      var i = 0
-      while (i < emb.length) { nrm += emb(i).toDouble * emb(i); i += 1 }
-      nrm = math.sqrt(nrm)
-      (0 until bands).iterator.map { band =>
-        var sketch = 0L
-        var b = 0
-        while (b < bits) {
-          val p = ps(band * bits + b)
-          var dot = 0.0
-          var j = 0
-          while (j < emb.length) { dot += p(j) * emb(j); j += 1 }
-          if (dot >= 0) sketch |= (1L << b)
-          b += 1
+    // one (bucket, id, emb, norm) row per band; bucket key = band ++ sketch.
+    // Hyperplanes are generated lazily per PARTITION from a fixed seed and
+    // the dimension of the first row seen — identical on every partition
+    // (deterministic PRNG stream), so no driver-side head() job and no
+    // broadcast is needed to learn the embedding dim.
+    val sketched = e.mapPartitions { it =>
+      var ps: Array[Array[Double]] = null
+      it.flatMap { case (id, emb) =>
+        if (ps == null) {
+          val rng = new java.util.Random(7L)
+          ps = Array.fill(bands * bits)(Array.fill(emb.length)(rng.nextGaussian()))
         }
-        ((band.toLong << 32) | sketch, id, emb, nrm)
+        var nrm = 0.0
+        var i = 0
+        while (i < emb.length) { nrm += emb(i).toDouble * emb(i); i += 1 }
+        nrm = math.sqrt(nrm)
+        (0 until bands).iterator.map { band =>
+          var sketch = 0L
+          var b = 0
+          while (b < bits) {
+            val p = ps(band * bits + b)
+            var dot = 0.0
+            var j = 0
+            while (j < emb.length) { dot += p(j) * emb(j); j += 1 }
+            if (dot >= 0) sketch |= (1L << b)
+            b += 1
+          }
+          ((band.toLong << 32) | sketch, id, emb, nrm)
+        }
       }
     }
 

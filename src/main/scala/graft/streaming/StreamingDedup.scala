@@ -97,6 +97,23 @@ object StreamingDedup {
       .groupBy(window(col("ts"), "1 minute"), col("codec"))
       .agg(count(lit(1)).as("n_clips"), sum(length(col("transcript"))).as("chars"))
 
+  /** Streaming top-k fuzzy retrieval: arriving query clips matched against
+    * a STATIC indexed corpus — the reference's stdin match loop
+    * (/root/reference/cli/src/FuzzyMatch-cli.cc:112-193) as a real stream.
+    * Stateless: the corpus index is one broadcast shared by every
+    * micro-batch, queries map through it with zero shuffle (append mode,
+    * no watermark needed), so the unbounded axis is the query stream —
+    * exactly the broadcast-path scale envelope of
+    * [[graft.dedup.FuzzyRetrieval.topk]], which this delegates to (the
+    * operator is already streaming-safe: narrow mapPartitions only). */
+  def retrievalAgainstCorpus(
+      queryStream: Dataset[Clip],
+      corpus: Dataset[Clip],
+      cfg: DedupConfig,
+      numberOfMatches: Int = 5,
+      noPerfect: Boolean = false): Dataset[graft.dedup.RetrievalRow] =
+    graft.dedup.FuzzyRetrieval.topk(queryStream, corpus, cfg, numberOfMatches, noPerfect)
+
   /** End-to-end streaming signature extraction from a parquet directory
     * source to a sink table, used by tests and as the ingest-job template. */
   def runSignatureIngest(

@@ -79,4 +79,33 @@ class PlanQualitySpec extends AnyFunSuite {
     // hot path and AQE can skew-split it
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("jaccard inverted index reuses one (lang, sh) exchange across agg, anti-join and self-join") {
+    val df = Queries.qJaccardPairs(spark, dir)
+    df.collect() // finalize the adaptive plan so reuse nodes materialize
+    val p = formatted(df)
+    assert(p.contains("ReusedExchange") || planOf(df).contains("ReusedExchange"),
+      s"no exchange reuse in the jaccard plan:\n${p.take(3000)}")
+  }
+
+  test("cross-table retrieval candidates are an equi-join on the bucket hash") {
+    import spark.implicits._
+    val corpus = graft.data.SynthCorpus.generate(spark, 64)
+    val queries = corpus.filter(c => c.clip_id.endsWith("0"))
+    val cfg = graft.dedup.DedupConfig()
+    val qt = graft.dedup.TokenizeStage(queries, cfg)
+    val ct = graft.dedup.TokenizeStage(corpus, cfg)
+    val ch = graft.dedup.CandidateStage.crossNgramChannel(qt, ct, cfg,
+      spark.sparkContext.longAccumulator)
+    val p = planOf(ch.toDF())
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("len-window pair join has no per-language cartesian shape") {
+    val p = planOf(Queries.qLenWindowPairs(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
 }

@@ -85,4 +85,36 @@ class StreamingDedupSpec extends AnyFunSuite {
     val df = spark.sql("select * from ingest_metrics")
     assert(df.columns.toSet == Set("window", "codec", "n_clips", "chars"))
   }
+
+  test("streaming top-k retrieval against a static corpus matches the batch path") {
+    import spark.implicits._
+    val tm1 = Seq("aa bb cc dd", "aa bb bb aa cc dd", "aa ｟it｠ bb cc dd",
+      "aa bb 13 dd", "aa bb cc ee", "aa bb cc dd.", "aa bb cc dd .", ".")
+    val corpus = tm1.zipWithIndex.map { case (s, i) =>
+      graft.data.Clip((i + 1).toString, Array.emptyByteArray, 16000, 0, "pcm_s16le", s)
+    }.toDS()
+    val queries = Seq(
+      graft.data.Clip("q1", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc"),
+      graft.data.Clip("q2", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb 14 dd"))
+    val dir = java.nio.file.Files.createTempDirectory("stream-in4").toString
+    queries.toDS().write.mode("overwrite").parquet(dir)
+
+    val rcfg = DedupConfig(threshold = 0.7f, minSubseqLength = 2, minSubseqRatio = 0f)
+    val stream = spark.readStream.schema(StreamingDedup.clipSchema).parquet(dir)
+      .as[graft.data.Clip]
+    val q = StreamingDedup.retrievalAgainstCorpus(stream, corpus, rcfg, 5)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("retrieval_sink").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("select * from retrieval_sink")
+      .as[graft.dedup.RetrievalRow].collect()
+      .map(r => (r.query_id, r.rank, r.s_id, r.score)).toSet
+    // FUZZY2 fixture for q1; NUM2 (at 0.7 ≥ 0.8 fixture threshold) for q2
+    val batch = graft.dedup.FuzzyRetrieval.topk(queries.toDS(), corpus, rcfg, 5)
+      .collect().map(r => (r.query_id, r.rank, r.s_id, r.score)).toSet
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(got.contains(("q1", 1, "1", 0.75)) || got.exists(t => t._1 == "q1" && t._3 == "1"))
+    assert(got.exists(t => t._1 == "q2" && t._3 == "4"))
+  }
 }
