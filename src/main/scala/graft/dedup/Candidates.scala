@@ -92,19 +92,27 @@ object CandidateStage {
     val spark = entries.sparkSession
     import spark.implicits._
 
-    // one wide exchange, reused by the df-aggregate, the metrics pre-pass,
-    // the anti-join probe and BOTH self-join sides (identical canonical
-    // subtree → ReusedExchange). The eager metrics head() below materializes
-    // this exchange, so the later joins re-read shuffle blocks, not input.
-    val parted = entries.repartition(col("sh"))
-    val counts = parted.groupBy("sh").agg(count(lit(1)).as("df"))
-    val stats = counts.filter($"df" > cap)
+    // eager, cheap pre-pass for the hot-bucket metrics and the broadcast
+    // decision: a map-side partial agg straight off `entries` (upstream
+    // toks/sigs are persisted by the pipeline, so this re-reads cached rows)
+    // shuffling only (sh, partial-count) pairs — deliberately NOT the full
+    // `parted` exchange below: shuffle files are not reused across separate
+    // actions, so an eager action through `parted` would pay the whole
+    // entries exchange twice (measured 6× slower on the candidates stage at
+    // 120k clips).
+    val stats = entries.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > cap)
       .agg(count(lit(1)).as("buckets"),
         coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L)).as("pairs")).head()
     val hotBuckets = stats.getLong(0)
     cappedBuckets.add(hotBuckets)
     cappedPairsLost.foreach(_.add(stats.getLong(1)))
 
+    // one wide exchange, reused WITHIN the main job by the df-aggregate, the
+    // anti-join probe and BOTH self-join sides (identical canonical subtree
+    // → ReusedExchange)
+    val parted = entries.repartition(col("sh"))
+    val counts = parted.groupBy("sh").agg(count(lit(1)).as("df"))
     val hot0 = counts.filter($"df" > cap).select("sh")
     // broadcast the hot-key set only while it is genuinely small: 1M Long
     // keys ≈ tens of MB as a HashedRelation — beyond that, let the anti-join
@@ -251,10 +259,13 @@ object CandidateStage {
     import spark.implicits._
 
     def coldSide[T](entries: Dataset[T]): Dataset[T] = {
+      // metrics pre-pass off the raw entries (partial agg, small shuffle) —
+      // never through the main exchange, which cross-action runs can't reuse
+      val hotBuckets = entries.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter($"df" > cap).count()
+      cappedBuckets.add(hotBuckets)
       val parted = entries.repartition(col("sh"))
       val counts = parted.groupBy("sh").agg(count(lit(1)).as("df"))
-      val hotBuckets = counts.filter($"df" > cap).count()
-      cappedBuckets.add(hotBuckets)
       val hot0 = counts.filter($"df" > cap).select("sh")
       val hotKeys = if (hotBuckets <= 1000000L) broadcast(hot0) else hot0
       parted.join(hotKeys, Seq("sh"), "left_anti").as[T](entries.encoder)
