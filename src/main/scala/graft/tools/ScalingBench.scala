@@ -31,7 +31,8 @@ object ScalingBench {
     // the work decomposition — tying partitions to cores would hand the
     // low-parallelism run fewer, cheaper tasks and corrupt the ratio.
     val cfg = DedupConfig(strategy = sys.env.getOrElse("SPARK_GRAFT_STRATEGY", "shuffle"),
-      shufflePartitions = 64)
+      shufflePartitions = 64,
+      verifySalts = sys.env.getOrElse("SPARK_GRAFT_SALTS", "1").toInt)
 
     // warm JIT/codegen with a small throwaway run
     DedupPipeline.run(SynthCorpus.generate(spark, 800, partitions = 8), cfg)
