@@ -34,12 +34,14 @@ object CorpusImport {
     override def close(): Unit = in.close()
   }
 
-  /** Index `tmFile` into the matcher; returns the number of lines read. */
-  def importTm(
-      fm: FuzzyMatcher,
+  /** Parse the corpus into (external id, source sentence) rows with the
+    * CLI's id semantics, without indexing — the S1 read path shared by the
+    * oracle import and the Spark-side corpus loader (GoldenTm2Spec drives
+    * the same rows through the distributed retrieval operator). */
+  def readRows(
       tmFile: String,
       addTarget: Boolean = false,
-      addTargetNoIndex: Boolean = false): Int = {
+      addTargetNoIndex: Boolean = false): Vector[(String, String)] = {
     val comma = tmFile.indexOf(',')
     val (srcPath, tgtPath) =
       if (comma >= 0) (tmFile.substring(0, comma), Some(tmFile.substring(comma + 1)))
@@ -47,10 +49,11 @@ object CorpusImport {
     val src = new Lines(srcPath)
     val tgt = tgtPath.map(new Lines(_))
     try {
+      val out = Vector.newBuilder[(String, String)]
       var count = 0
       while (src.hasNext) {
         var srcLine = src.next()
-        var tgtLine = tgt match {
+        val tgtLine = tgt match {
           case Some(t) => if (t.hasNext) t.next() else ""
           case None =>
             val tab = srcLine.indexOf('\t')
@@ -65,12 +68,23 @@ object CorpusImport {
           if (addTargetNoIndex) tgtLine
           else if (addTarget) s"$count=$tgtLine"
           else count.toString
-        fm.addTm(id, srcLine)
+        out += ((id, srcLine))
       }
-      count
+      out.result()
     } finally {
       src.close()
       tgt.foreach(_.close())
     }
+  }
+
+  /** Index `tmFile` into the matcher; returns the number of lines read. */
+  def importTm(
+      fm: FuzzyMatcher,
+      tmFile: String,
+      addTarget: Boolean = false,
+      addTargetNoIndex: Boolean = false): Int = {
+    val rows = readRows(tmFile, addTarget, addTargetNoIndex)
+    rows.foreach { case (id, src) => fm.addTm(id, src) }
+    rows.length
   }
 }
