@@ -85,4 +85,47 @@ class CandidateJoinPropertySpec extends AnyFunSuite {
       .collect().map(cp => (cp.p, cp.c)).toSet
     assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
+
+  test("cross-table ngram channel equals driver brute force (two-sided window, per-side caps)") {
+    import spark.implicits._
+    import graft.kernel.SuffixIndex
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val mkRows = (m: Int, tag: String) => (0 until m).map { i =>
+        val len = 3 + rng.nextInt(12)
+        (f"${tag}_$i%04d", Array.fill(len)(s"w${rng.nextInt(12)}").mkString(" "))
+      }
+      val cfg = DedupConfig(shingleDfCap = 8)
+      def clipsOf(rows: Seq[(String, String)]) = rows.map { case (id, t) =>
+        graft.data.Clip(id, Array[Byte](), 16000, 1, "pcm_s16le", t) }.toDS()
+      val qClips = clipsOf(mkRows(60 + rng.nextInt(40), "q"))
+      val cClips = clipsOf(mkRows(120 + rng.nextInt(60), "c"))
+
+      def sideEntries(clips: org.apache.spark.sql.Dataset[graft.data.Clip]) =
+        TokenizeStage(clips, cfg).collect().toSeq
+          .filter(_.n_tokens >= cfg.shingleK)
+          .flatMap { t =>
+            graft.kernel.Hashing.distinctShingles(t.ids, cfg.shingleK)
+              .map(h => (h, t.clip_id, t.n_tokens))
+          }
+      val qEntries = sideEntries(qClips)
+      val cEntries = sideEntries(cClips)
+      val qBySh = qEntries.groupBy(_._1).filter(_._2.size <= cfg.shingleDfCap)
+      val cBySh = cEntries.groupBy(_._1).filter(_._2.size <= cfg.shingleDfCap)
+      val want = (for {
+        (sh, qs) <- qBySh.toSeq
+        cs <- cBySh.get(sh).toSeq
+        q <- qs; c <- cs
+        // fixed pattern-is-query direction: one-sided theoretical rejection
+        if !SuffixIndex.theoreticalRejection(q._3, c._3, cfg.editCosts, cfg.threshold)
+      } yield (q._2, c._2)).toSet
+
+      val got = CandidateStage.crossNgramChannel(
+          TokenizeStage(qClips, cfg), TokenizeStage(cClips, cfg), cfg,
+          spark.sparkContext.longAccumulator)
+        .collect().map(cp => (cp.p, cp.c)).toSet
+      assert(got == want,
+        s"trial $trial: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
 }
