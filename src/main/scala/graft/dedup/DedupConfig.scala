@@ -28,7 +28,11 @@ final case class DedupConfig(
     // --- candidate generation ---
     /** n-gram size for the exact inverted-index channel; pairs sharing a
       * k-token substring are surfaced (k=3 matches the reference's
-      * effective min registered n-gram at default ml=3). */
+      * effective min registered n-gram at default ml=3). INVARIANT: the
+      * channel's recall guarantee (every reference candidate shares an
+      * msl-gram, msl = clamped min-subsequence length ≥ minSubseqLength)
+      * requires shingleK ≤ minSubseqLength — lower both together (e.g. the
+      * tm1 fixture harness runs ml=2 with shingleK=2). */
     shingleK: Int = 3,
     /** max docs per shingle bucket before the bucket is dropped from the
       * exact channel. Hot shingles (top Zipf words) otherwise cost O(df²)

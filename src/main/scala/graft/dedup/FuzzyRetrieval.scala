@@ -67,6 +67,9 @@ object FuzzyRetrieval {
 
     // index side: tokenize with the reference's insert-side filters (P2/P3)
     val corpusRows = TokenizeStage(corpus, cfg).collect()
+    require(corpusRows.length <= cfg.broadcastMaxRows,
+      s"corpus has ${corpusRows.length} indexable rows > broadcastMaxRows " +
+        s"${cfg.broadcastMaxRows}: use FuzzyRetrieval.topkShuffle (the beyond-memory path)")
     val bc = spark.sparkContext.broadcast(corpusRows)
     val bcId = bc.id
 

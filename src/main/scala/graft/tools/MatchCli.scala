@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import graft.data.{Clip, TableIO}
+import graft.dedup.{DedupConfig, DedupPipeline, FuzzyRetrieval}
+
+/** Distributed fuzzy top-k retrieval job — the reference CLI's `-a match`
+  * (/root/reference/cli/src/FuzzyMatch-cli.cc:219-233) as a spark-submit
+  * main.
+  *
+  * Usage:
+  *   MatchCli <corpus> <queries> <outDir|-> [threshold=0.8] [nmatch=5]
+  *            [noPerfect=false] [strategy=broadcast|shuffle]
+  *
+  * `corpus` / `queries`: a clip parquet path (input_hint schema), a text
+  * file (`.txt`/`.gz`, one sentence per line — ids are 1-based line numbers,
+  * the CLI's S1 convention), or `synth:N`. `outDir` `-` prints the first
+  * rows instead of writing. Emits the reference's `NMATCH nonempty/total`
+  * counter line (FuzzyMatch-cli.cc:452-458).
+  */
+object MatchCli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: MatchCli <corpus> <queries> <outDir|-> " +
+      "[threshold] [nmatch] [noPerfect] [strategy]")
+    val Array(corpusArg, queriesArg, outDir) = args.take(3)
+    val threshold = if (args.length > 3) args(3).toFloat else 0.8f
+    val nmatch = if (args.length > 4) args(4).toInt else 5
+    val noPerfect = args.length > 5 && args(5).toBoolean
+    val strategy = if (args.length > 6) args(6) else "broadcast"
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = DedupPipeline.sessionBuilder("graft-match", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = DedupConfig(threshold = threshold)
+    val corpus = load(spark, corpusArg)
+    val queries = load(spark, queriesArg)
+    val nQueries = queries.count()
+
+    val results = strategy match {
+      case "shuffle" => FuzzyRetrieval.topkShuffle(queries, corpus, cfg, nmatch, noPerfect)
+      case _ => FuzzyRetrieval.topk(queries, corpus, cfg, nmatch, noPerfect)
+    }
+
+    import spark.implicits._
+    val persisted = results.persist()
+    val nonempty = persisted.filter(_.rank == 1).count()
+    if (outDir == "-") {
+      persisted.orderBy($"query_id", $"rank").show(50, truncate = false)
+    } else {
+      TableIO.write(persisted.toDF(), outDir, SaveMode.Overwrite)
+    }
+    println(s"NMATCH $nonempty/$nQueries")
+    spark.stop()
+  }
+
+  /** Load a clip table from parquet, a (gz) text file, or `synth:N`. */
+  private[tools] def load(spark: SparkSession, arg: String): Dataset[Clip] = {
+    import spark.implicits._
+    if (arg.startsWith("synth:"))
+      graft.data.SynthCorpus.generate(spark, arg.stripPrefix("synth:").toLong)
+    else if (arg.endsWith(".txt") || arg.endsWith(".gz") || arg.contains(",")) {
+      val rows = CorpusImport.readRows(arg)
+      rows.map { case (id, src) =>
+        Clip(id, Array.emptyByteArray, 16000, 0, "pcm_s16le", src)
+      }.toDS()
+    } else TableIO.readClips(spark, arg)
+  }
+}
