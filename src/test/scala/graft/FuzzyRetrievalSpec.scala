@@ -174,6 +174,23 @@ class FuzzyRetrievalSpec extends AnyFunSuite {
       s"tiny query missed its perfect corpus match: ${got.mkString(",")}")
   }
 
+  test("idf penalty through Spark: exact idf_weight_1 scores on BOTH paths (test.cc:420-452)") {
+    import spark.implicits._
+    val corpus = clips(Seq("a b c", "a b d", "d d d d d", "d e", "c"), _.toString).toDS()
+    val queries = clips(Seq("a b c d"), _ => "q").toDS()
+    val c = DedupConfig(threshold = 0f, minSubseqLength = 0, minSubseqRatio = 0f,
+      pt = PT.none, editCosts = EditCosts(1f, 0f, 1f), vocabIdfPenalty = 1f,
+      shingleK = 2)
+    for ((name, path) <- Seq(
+        "broadcast" -> FuzzyRetrieval.topk(queries, corpus, c, numberOfMatches = 10),
+        "shuffle" -> FuzzyRetrieval.topkShuffle(queries, corpus, c, numberOfMatches = 10))) {
+      val got = path.collect().sortBy(_.rank)
+      assert(got.map(_.s_id).toSeq == Seq("0", "1"), s"$name ids: ${got.map(_.s_id).mkString(",")}")
+      assert(math.abs(got(0).score - 0.6706515) <= 1e-4, s"$name score0 ${got(0).score}")
+      assert(math.abs(got(1).score - 0.6076691) <= 1e-4, s"$name score1 ${got(1).score}")
+    }
+  }
+
   test("shuffle path: contrastive rerank order matches the broadcast path") {
     import spark.implicits._
     val corpus = clips(Seq("a b c d", "b c d", "d e f"), _.toString).toDS()
