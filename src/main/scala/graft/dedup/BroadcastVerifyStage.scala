@@ -17,15 +17,22 @@ import graft.kernel.{Doc, Matcher, SuffixIndex}
   */
 object BroadcastVerifyStage {
 
-  /** Executor-side per-JVM index cache, keyed by broadcast id. Capacity is
-    * ONE entry: building a new index (new broadcast = new pipeline run)
-    * evicts every older corpus copy, so repeated runs in a long-lived JVM
-    * (e.g. the bench loop) never accumulate dead (index + docs + rows)
-    * graphs. Concurrent tasks of the SAME run serialize on the monitor and
-    * reuse the first build. */
+  /** Executor-side per-JVM index cache, keyed by broadcast id. Bounded
+    * LRU with capacity TWO: one slot for a long-lived index (e.g. a
+    * streaming retrieval query reusing its corpus every micro-batch) plus
+    * one for a concurrently running batch job — interleaved tasks of two
+    * different broadcasts each build once instead of thrashing, while a
+    * long-lived JVM (the bench loop) still never accumulates more than two
+    * (index + docs + rows) graphs. Concurrent tasks of the SAME run
+    * serialize on the monitor and reuse the first build. */
   private val cache =
-    new java.util.HashMap[
-      Long, (SuffixIndex, Array[Doc], Array[TokRow], scala.collection.mutable.LongMap[Int])]()
+    new java.util.LinkedHashMap[
+      Long, (SuffixIndex, Array[Doc], Array[TokRow], scala.collection.mutable.LongMap[Int])](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, (SuffixIndex, Array[Doc], Array[TokRow], scala.collection.mutable.LongMap[Int])]): Boolean =
+        size() > 2
+    }
 
   private[dedup] def indexFor(bcId: Long, rows: Array[TokRow], needDf: Boolean)
       : (SuffixIndex, Array[Doc], Array[TokRow], scala.collection.mutable.LongMap[Int]) =
@@ -52,8 +59,7 @@ object BroadcastVerifyStage {
         }
         index.sort() // eagerly, before publication — lookups are then read-only
         val built = (index, docs, rows, df)
-        cache.clear() // keep-last-1 eviction
-        cache.put(bcId, built)
+        cache.put(bcId, built) // LRU bound (capacity 2) evicts the eldest
         built
       }
     }

@@ -46,6 +46,27 @@ final case class SubseqRow(
   */
 object FuzzyRetrieval {
 
+  /** Tokenize + collect the corpus for the broadcast-index path, enforcing
+    * BOTH envelope gates of the pipeline's own broadcast decision
+    * (DedupPipeline rows + estimated bytes) with an actionable error
+    * pointing at the beyond-memory path. The row count is pre-checked with
+    * a cheap count() BEFORE collecting (a too-large corpus must not OOM the
+    * driver just to produce the error message). */
+  private def collectGuarded(corpus: Dataset[Clip], cfg: DedupConfig): Array[TokRow] = {
+    val toks = TokenizeStage(corpus, cfg).persist()
+    try {
+      val n = toks.count()
+      require(n <= cfg.broadcastMaxRows,
+        s"corpus has $n indexable rows > broadcastMaxRows ${cfg.broadcastMaxRows}: " +
+          "use FuzzyRetrieval.topkShuffle (the beyond-memory path)")
+      val estBytes = DedupPipeline.estimateTokBytes(toks, n)
+      require(estBytes <= cfg.broadcastMaxBytes,
+        s"corpus estimated at $estBytes tokenized bytes > broadcastMaxBytes " +
+          s"${cfg.broadcastMaxBytes}: use FuzzyRetrieval.topkShuffle (the beyond-memory path)")
+      toks.collect()
+    } finally toks.unpersist()
+  }
+
   /** Top-k fuzzy match of every query row against the corpus.
     *
     * @param numberOfMatches top-n per query (0 = unlimited, reference `-n`)
@@ -66,10 +87,7 @@ object FuzzyRetrieval {
     import spark.implicits._
 
     // index side: tokenize with the reference's insert-side filters (P2/P3)
-    val corpusRows = TokenizeStage(corpus, cfg).collect()
-    require(corpusRows.length <= cfg.broadcastMaxRows,
-      s"corpus has ${corpusRows.length} indexable rows > broadcastMaxRows " +
-        s"${cfg.broadcastMaxRows}: use FuzzyRetrieval.topkShuffle (the beyond-memory path)")
+    val corpusRows = collectGuarded(corpus, cfg)
     val bc = spark.sparkContext.broadcast(corpusRows)
     val bcId = bc.id
 
@@ -171,20 +189,29 @@ object FuzzyRetrieval {
     val idfMax = if (useIdf) math.log(corpusSize.toDouble).toFloat else 0.01f
     val salts = math.max(1, cfg.verifySalts)
 
-    val candToks = cands
-      .joinWith(cToks, cands("c") === cToks("clip_id"))
+    val candToksSrc = cands.persist()
+    val candToks = candToksSrc
+      .joinWith(cToks, candToksSrc("c") === cToks("clip_id"))
       .map { case (cp, t) =>
         val salt =
           if (salts == 1) 0
           else (Hashing.fnv1a64(t.clip_id) % salts).toInt.abs
         CandTok(cp.p + "#" + salt, t)
       }
-    val patternIds = cands.select("p").distinct()
+    val patternIds = candToksSrc.select("p").distinct()
     val patternToks = qToks
       .join(patternIds, qToks("clip_id") === patternIds("p"), "left_semi")
       .as[TokRow]
     val patternKeyed = VerifyStage.saltedPatterns(patternToks, cToks, useIdf, corpusSize, salts)
-    val scored = VerifyStage.scoreGroups(patternKeyed, candToks, params, idfMax)
+    // materialize the scored edges once, then release the upstream caches —
+    // repeated retrieval calls in one session must not pin dead token/
+    // candidate copies in executor storage (only the small scored edge set
+    // stays cached for the two ranking branches below)
+    val scored = VerifyStage.scoreGroups(patternKeyed, candToks, params, idfMax).persist()
+    scored.count()
+    qToks.unpersist()
+    cToks.unpersist()
+    candToksSrc.unpersist()
 
     val ranked =
       if (contrastiveFactor <= 0f) {
@@ -199,18 +226,43 @@ object FuzzyRetrieval {
       } else {
         // contrastive rerank: per-query result sets are small (only
         // above-threshold matches), so collect each group and run the
-        // reference's exact selection (Matcher.contrastiveRerank) locally
+        // reference's exact selection (Matcher.contrastiveRerank) locally.
+        // Before reranking, the broadcast path's contrastBuffer admission is
+        // REPLAYED: matchPattern evaluates candidates in consolidation order
+        // (longest match desc — A2) keeping a heap of the `buffer` lowest
+        // costs and skipping candidates above its max. Here the edge's lcs
+        // stands in for the consolidation key (ties by s_id — the reference
+        // ties by insertion order) and 1−score for the raw DP cost (monotone
+        // through quantization; admission can differ only within one 1e-4
+        // quantization step of the boundary).
         val rerankParams = params.copy(
           numberOfMatches = numberOfMatches,
           contrastiveFactor = contrastiveFactor,
           contrastReduce = contrastReduce,
           contrastBuffer = contrastBuffer)
+        val buffer = if (contrastBuffer == -1) numberOfMatches else contrastBuffer
         scored
           .joinWith(cToks, scored("b") === cToks("clip_id"))
           .map { case (e, t) => (e.a, e.b, e.score, e.lcs, t.ids) }
           .groupByKey(_._1)
           .flatMapGroups { (qid, it) =>
-            val ms = it.toArray
+            val all = it.toArray.sortBy(m => (-m._4, m._2))
+            val ms =
+              if (buffer <= 0) all
+              else {
+                val heap = scala.collection.mutable.PriorityQueue.empty[Double]
+                heap.enqueue(Double.MaxValue)
+                val admitted = Array.newBuilder[(String, String, Double, Int, Array[Long])]
+                for (m <- all) {
+                  val cost = 1.0 - m._3
+                  if (cost <= heap.head) {
+                    admitted += m
+                    heap.enqueue(cost)
+                    if (heap.size > buffer) heap.dequeue()
+                  }
+                }
+                admitted.result()
+              }
             val docs = ms.map(m => Doc(m._5, Array.empty, Array.empty))
             implicit val ord: Ordering[graft.kernel.MatchResult] =
               Ordering.by(m => (m.score, -m.sIdx))
@@ -240,7 +292,7 @@ object FuzzyRetrieval {
     val spark = queries.sparkSession
     import spark.implicits._
 
-    val corpusRows = TokenizeStage(corpus, cfg).collect()
+    val corpusRows = collectGuarded(corpus, cfg)
     val bc = spark.sparkContext.broadcast(corpusRows)
     val bcId = bc.id
     val pt = cfg.pt

@@ -49,7 +49,7 @@ object Survivors {
       .joinWith(toks, clusters("clip_id") === toks("clip_id"))
       .map { case (c, t) => (c.cluster_id, t.clip_id, t.ids) }
 
-    val reps = member.groupByKey(_._1).mapGroups { (clusterId, it) =>
+    val medoids = member.groupByKey(_._1).mapGroups { (clusterId, it) =>
       val ms = it.toArray.sortBy(_._2)
       if (ms.length > maxClusterForMedoid) { fallbackClusters.foreach(_.add(1)); clusterId }
       else if (ms.length == 1) clusterId
@@ -78,6 +78,16 @@ object Survivors {
         bestId
       }
     }.toDF("clip_id")
+
+    // clusters with NO tokenized member (tokenize-dropped transcripts —
+    // empty or over-length — possibly clustered by the audio channel) emit
+    // nothing from the medoid grouping; their representative falls back to
+    // the cluster id (= min member id, the same convention as `survivors`)
+    // so no input row ever silently vanishes from the output table
+    val tokenless = clusters.select(F.col("cluster_id").as("clip_id")).distinct()
+      .join(member.toDF("cid", "mid", "ids").select(F.col("cid").as("clip_id")).distinct(),
+        Seq("clip_id"), "left_anti")
+    val reps = medoids.union(tokenless)
 
     clips.join(reps, Seq("clip_id"), "left_semi").as[Clip]
   }

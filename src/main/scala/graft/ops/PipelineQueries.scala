@@ -64,8 +64,16 @@ object PipelineQueries {
   def simhashPairs(spark: SparkSession, dir: String, bucketCap: Int = 1024)
       : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
-    val sigs = minhashSigsWide(spark, dir).select("doc_id", "simhash")
-      .as[(String, Long)].persist()
+    // simhash-only signatures: tokenize + shingles + one 64-bit fingerprint
+    // per doc — NOT the 128-perm minhash pipeline (nothing here needs it),
+    // and cheap enough to recompute for each of the plan's reads instead of
+    // pinning a cache for the life of the session
+    val sigs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+      .map { case (id, text) =>
+        val ts = Tokenizer.tokenize(text, PT.default)
+        (id, Hashing.simhash(Hashing.distinctShingles(Hashing.tokenIds(ts.norm), 3)))
+      }
     // chunk c covers bits [offsets(c), offsets(c+1)); 7 chunks tile all 64
     val offsets = Array(0, 10, 19, 28, 37, 46, 55, 64)
     val entries = sigs.flatMap { case (id, sh) =>

@@ -208,6 +208,12 @@ object Queries {
     val parted = d.repartition(col("lang"), col("sh"))
     val hot = parted.groupBy("lang", "sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select("lang", "sh")
+    // the drop is COUNTED (accumulator named in the Spark UI/metrics), the
+    // repo's never-silent-capping discipline — one cheap extra aggregation
+    // job off the raw entries (a partial agg, not the parted exchange)
+    val cappedShingles = spark.sparkContext.longAccumulator("jaccardCappedShingles")
+    cappedShingles.add(
+      d.groupBy("lang", "sh").agg(count(lit(1)).as("df")).filter(col("df") > cap).count())
     val cold = parted.join(broadcast(hot), Seq("lang", "sh"), "left_anti")
     val sizes = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = cold.select(col("doc_id").as("a_id"), col("lang"), col("sh"))

@@ -34,14 +34,14 @@ object CorpusImport {
     override def close(): Unit = in.close()
   }
 
-  /** Parse the corpus into (external id, source sentence) rows with the
-    * CLI's id semantics, without indexing — the S1 read path shared by the
-    * oracle import and the Spark-side corpus loader (GoldenTm2Spec drives
-    * the same rows through the distributed retrieval operator). */
-  def readRows(
+  /** Stream (external id, source sentence) rows with the CLI's id
+    * semantics to `f`, line by line — the S1 read core shared by the oracle
+    * import (which must NOT buffer a multi-million-line TM on top of its
+    * own index) and the collecting [[readRows]]. Returns the line count. */
+  def eachRow(
       tmFile: String,
       addTarget: Boolean = false,
-      addTargetNoIndex: Boolean = false): Vector[(String, String)] = {
+      addTargetNoIndex: Boolean = false)(f: (String, String) => Unit): Int = {
     val comma = tmFile.indexOf(',')
     val (srcPath, tgtPath) =
       if (comma >= 0) (tmFile.substring(0, comma), Some(tmFile.substring(comma + 1)))
@@ -49,7 +49,6 @@ object CorpusImport {
     val src = new Lines(srcPath)
     val tgt = tgtPath.map(new Lines(_))
     try {
-      val out = Vector.newBuilder[(String, String)]
       var count = 0
       while (src.hasNext) {
         var srcLine = src.next()
@@ -68,23 +67,33 @@ object CorpusImport {
           if (addTargetNoIndex) tgtLine
           else if (addTarget) s"$count=$tgtLine"
           else count.toString
-        out += ((id, srcLine))
+        f(id, srcLine)
       }
-      out.result()
+      count
     } finally {
       src.close()
       tgt.foreach(_.close())
     }
   }
 
-  /** Index `tmFile` into the matcher; returns the number of lines read. */
+  /** Collected form of [[eachRow]] for callers that want the whole corpus
+    * (the Spark-side loaders; GoldenTm2Spec drives the same rows through
+    * the distributed retrieval operator). */
+  def readRows(
+      tmFile: String,
+      addTarget: Boolean = false,
+      addTargetNoIndex: Boolean = false): Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    eachRow(tmFile, addTarget, addTargetNoIndex)((id, src) => out += ((id, src)))
+    out.result()
+  }
+
+  /** Index `tmFile` into the matcher (streaming, no full-corpus buffer);
+    * returns the number of lines read. */
   def importTm(
       fm: FuzzyMatcher,
       tmFile: String,
       addTarget: Boolean = false,
-      addTargetNoIndex: Boolean = false): Int = {
-    val rows = readRows(tmFile, addTarget, addTargetNoIndex)
-    rows.foreach { case (id, src) => fm.addTm(id, src) }
-    rows.length
-  }
+      addTargetNoIndex: Boolean = false): Int =
+    eachRow(tmFile, addTarget, addTargetNoIndex)((id, src) => fm.addTm(id, src))
 }

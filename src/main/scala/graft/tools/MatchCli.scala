@@ -39,7 +39,8 @@ object MatchCli {
 
     val results = strategy match {
       case "shuffle" => FuzzyRetrieval.topkShuffle(queries, corpus, cfg, nmatch, noPerfect)
-      case _ => FuzzyRetrieval.topk(queries, corpus, cfg, nmatch, noPerfect)
+      case "broadcast" => FuzzyRetrieval.topk(queries, corpus, cfg, nmatch, noPerfect)
+      case other => sys.error(s"unknown strategy '$other' (use broadcast|shuffle)")
     }
 
     import spark.implicits._

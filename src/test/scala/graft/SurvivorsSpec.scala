@@ -73,4 +73,24 @@ class SurvivorsSpec extends AnyFunSuite {
     // the fallback is COUNTED, never silent: exactly this one oversized cluster
     assert(fallback.value == 1L, s"fallback accumulator = ${fallback.value}, want 1")
   }
+
+  test("medoid keeps clusters whose members have no token rows (no silent vanish)") {
+    import spark.implicits._
+    // cluster A: tokenized members; cluster E: members dropped by tokenize
+    // (e.g. empty transcripts clustered by the audio channel) — E must still
+    // produce a survivor (its cluster id), matching the pipeline's
+    // no-row-vanishes invariant
+    val toks = Seq(
+      TokRow("a1", 3, Array(1L, 2L, 3L), Array("1", "2", "3"), Array.fill(4)("")),
+      TokRow("a2", 3, Array(1L, 2L, 4L), Array("1", "2", "4"), Array.fill(4)(""))).toDS()
+    val cl = Seq(
+      ClusterRow("a1", "a1"), ClusterRow("a2", "a1"),
+      ClusterRow("e1", "e1"), ClusterRow("e2", "e1")).toDS()
+    val cs = Seq("a1", "a2", "e1", "e2").map(id =>
+      graft.data.Clip(id, AudioPcm.synthWav(1L, 16, 16000), 16000, 1, "pcm_s16le",
+        if (id.startsWith("e")) "" else id)).toDS()
+    val got = Survivors.survivorsMedoid(cs, cl, toks).collect().map(_.clip_id).toSet
+    assert(got.contains("e1"), s"token-less cluster dropped from medoid survivors: $got")
+    assert(got.size == 2 && got.exists(_.startsWith("a")), s"got $got")
+  }
 }
