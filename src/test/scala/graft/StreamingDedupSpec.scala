@@ -116,5 +116,22 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(got == batch, s"stream=$got batch=$batch")
     assert(got.contains(("q1", 1, "1", 0.75)) || got.exists(t => t._1 == "q1" && t._3 == "1"))
     assert(got.exists(t => t._1 == "q2" && t._3 == "4"))
+
+    // second micro-batch: a new query file lands in the source directory —
+    // the SAME corpus index (one broadcast, cached per executor) serves it
+    // and its results append without reprocessing the first batch
+    val before = spark.sql("select * from retrieval_sink").count()
+    val q3 = Seq(graft.data.Clip("q3", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd"))
+    q3.toDS().write.mode("append").parquet(dir)
+    val q2run = StreamingDedup.retrievalAgainstCorpus(stream, corpus, rcfg, 5)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("retrieval_sink2").start()
+    q2run.processAllAvailable()
+    q2run.stop()
+    val second = spark.sql("select * from retrieval_sink2")
+      .as[graft.dedup.RetrievalRow].collect()
+    assert(second.exists(r => r.query_id == "q3" && r.s_id == "1" && r.score == 1.0),
+      s"appended micro-batch query missing: ${second.take(8).mkString(",")}")
+    assert(before > 0)
   }
 }
