@@ -380,6 +380,18 @@ object PipelineQueries {
       .select(col("clip_id"), col("transcript"))
   }
 
+  /** Medoid-policy survivors (the reference's contrastive-rerank idea as
+    * cluster-representative selection): the member with the lowest mean
+    * plain edit distance to its co-members survives. */
+  def qDedupSurvivorsMedoid(spark: SparkSession, dir: String): DataFrame = {
+    val clips = documentsAsClips(spark, dir)
+    val cfg = DedupConfig(threshold = 0.8f)
+    val r = DedupPipeline.run(clips, cfg)
+    val toks = TokenizeStage(clips, cfg)
+    Survivors.survivorsMedoid(clips, r.clusters, toks).toDF()
+      .select(col("clip_id"), col("transcript"))
+  }
+
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_topk" -> (qFuzzyTopk _),
     "q_fuzzy_topk_shuffle" -> (qFuzzyTopkShuffle _),
@@ -391,6 +403,7 @@ object PipelineQueries {
     "q_audio_dup_pairs" -> (qAudioDupPairs _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
+    "q_dedup_survivors_medoid" -> (qDedupSurvivorsMedoid _),
     "q_audio_meta" -> (AudioOps.qAudioMeta _),
     "q_audio_energy" -> (AudioOps.qAudioEnergy _)
   )
