@@ -154,6 +154,13 @@ object VerifyStage {
         if (!pIt.hasNext) Iterator.empty
         else {
           val pat = pIt.next()
+          // two rows sharing a clip_id land in the same salted group — make
+          // the id-uniqueness input contract explicit instead of silently
+          // scoring only the first row's transcript
+          if (pIt.hasNext)
+            throw new IllegalStateException(
+              s"duplicate clip_id '${saltedKey.substring(0, saltedKey.lastIndexOf('#'))}' " +
+                "in the pattern table — clip ids must be unique")
           val pRow = pat.t
           val candRows = cIt.map(_.t).toArray
           if (candRows.isEmpty) Iterator.empty

@@ -228,4 +228,21 @@ class DedupPipelineSpec extends AnyFunSuite {
     val c2 = r2.clusters.collect().map(r => (r.clip_id, r.cluster_id)).sorted
     assert(c1.sameElements(c2))
   }
+
+  test("duplicate clip ids fail loudly in the verify stage, never score silently") {
+    import spark.implicits._
+    // two DIFFERENT transcripts under the same clip_id "A"; both are shorter
+    // than B, so both land on the PATTERN side of the same salted group
+    val clips = Seq(
+      graft.data.Clip("A", Array[Byte](), 16000, 1, "pcm_s16le", "aa bb cc dd"),
+      graft.data.Clip("A", Array[Byte](), 16000, 1, "pcm_s16le", "aa bb cc ee"),
+      graft.data.Clip("B", Array[Byte](), 16000, 1, "pcm_s16le", "aa bb cc dd ee")).toDS()
+    val e = intercept[Exception] {
+      DedupPipeline.run(clips, cfg.copy(strategy = "shuffle")).edges.collect()
+    }
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    assert(messages(e).exists(_.contains("duplicate clip_id")),
+      s"expected the duplicate-id contract error, got: ${messages(e).mkString(" | ")}")
+  }
 }
