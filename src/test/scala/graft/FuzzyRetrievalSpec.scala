@@ -149,6 +149,24 @@ class FuzzyRetrievalSpec extends AnyFunSuite {
     assert(sh == bc, s"missing=${(bc -- sh).take(5)} extra=${(sh -- bc).take(5)}")
   }
 
+  test("shuffle path recall >= 0.99 vs broadcast truth when hot-shingle caps trigger") {
+    val corpus = graft.data.SynthCorpus.generate(spark, 2400)
+    val queries = corpus.filter(c => c.clip_id.stripPrefix("clip_").toLong % 6 == 0)
+    val c = DedupConfig(threshold = 0.8f, shingleDfCap = 24, bandDfCap = 96)
+    def key(r: graft.dedup.RetrievalRow) = (r.query_id, r.s_id)
+    val truth = FuzzyRetrieval.topk(queries, corpus, c, numberOfMatches = 0)
+      .collect().map(key).toSet
+    val got = FuzzyRetrieval.topkShuffle(queries, corpus, c, numberOfMatches = 0)
+      .collect().map(key).toSet
+    assert(truth.size > 400, s"vacuous truth set: ${truth.size}") // at least the self matches
+    // the broadcast index IS the full candidate generator, so the LSH path
+    // can only miss, never invent: zero extras, recall ≥ 0.99 under caps
+    val extras = got -- truth
+    assert(extras.isEmpty, s"${extras.size} non-truth matches, e.g. ${extras.take(3)}")
+    val recall = 1.0 - (truth -- got).size.toDouble / truth.size
+    assert(recall >= 0.99, s"capped retrieval recall $recall (missed ${(truth -- got).size}/${truth.size})")
+  }
+
   test("shuffle path: tm1 NOLIMIT match set (set equality; ranks by score)") {
     import spark.implicits._
     val queries = clips(Seq("aa bb cc dd"), _ => "q").toDS()
