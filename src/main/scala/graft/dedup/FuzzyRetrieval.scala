@@ -150,7 +150,13 @@ object FuzzyRetrieval {
     * the same ≥ 0.99 envelope as the dedup pipeline (exact for pairs
     * sharing any cold k-shingle; FuzzyRetrievalSpec pins set equality on
     * the synthetic corpus). Rank ties break by s_id here vs corpus
-    * insertion order in the broadcast path. */
+    * insertion order in the broadcast path.
+    *
+    * `checkpointDir` makes the job resumable like the dedup pipeline: the
+    * candidate-pair and scored-match stages are written as committed tables
+    * and re-read on a rerun instead of recomputed (a 10^12-row query table
+    * is a long job; a died ranking step must not re-pay candidate
+    * generation + verification). */
   def topkShuffle(
       queries: Dataset[Clip],
       corpus: Dataset[Clip],
@@ -159,20 +165,33 @@ object FuzzyRetrieval {
       noPerfect: Boolean = false,
       contrastiveFactor: Float = 0f,
       contrastReduce: Matcher.ContrastReduce = Matcher.Mean,
-      contrastBuffer: Int = -1): Dataset[RetrievalRow] = {
+      contrastBuffer: Int = -1,
+      checkpointDir: Option[String] = None): Dataset[RetrievalRow] = {
     val spark = queries.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, row_number}
     import org.apache.spark.sql.expressions.Window
+
+    def checkpointed[T](name: String, compute: => Dataset[T])(
+        read: org.apache.spark.sql.DataFrame => Dataset[T]): Dataset[T] =
+      checkpointDir match {
+        case Some(dir) =>
+          val path = s"$dir/$name"
+          if (!graft.data.TableIO.exists(spark, path))
+            graft.data.TableIO.write(compute.toDF(), path)
+          read(graft.data.TableIO.read(spark, path))
+        case None => compute
+      }
 
     val qToks = TokenizeStage(queries, cfg).persist()
     val cToks = TokenizeStage(corpus, cfg).persist()
     lazy val qSigs = SignatureStage(qToks, cfg)
     lazy val cSigs = SignatureStage(cToks, cfg)
     val sc = spark.sparkContext
-    val cands = CandidateStage.cross(qToks, cToks, qSigs, cSigs, cfg,
-      sc.longAccumulator("retrievalCappedShingleBuckets"),
-      sc.longAccumulator("retrievalCappedBandBuckets"))
+    val cands = checkpointed("retrieval_candidates",
+      CandidateStage.cross(qToks, cToks, qSigs, cSigs, cfg,
+        sc.longAccumulator("retrievalCappedShingleBuckets"),
+        sc.longAccumulator("retrievalCappedBandBuckets")))(_.as[CandPair])
 
     // verify: patterns = queries with ≥1 candidate; candidates = corpus rows
     val params = Matcher.Params(
@@ -207,7 +226,9 @@ object FuzzyRetrieval {
     // repeated retrieval calls in one session must not pin dead token/
     // candidate copies in executor storage (only the small scored edge set
     // stays cached for the two ranking branches below)
-    val scored = VerifyStage.scoreGroups(patternKeyed, candToks, params, idfMax).persist()
+    val scored = checkpointed("retrieval_scored",
+      VerifyStage.scoreGroups(patternKeyed, candToks, params, idfMax))(_.as[Edge])
+      .persist()
     scored.count()
     qToks.unpersist()
     cToks.unpersist()

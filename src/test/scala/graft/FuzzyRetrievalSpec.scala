@@ -209,6 +209,24 @@ class FuzzyRetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle path resumes from checkpoints (scored stage restored, not recomputed)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("retr-ckpt").toString
+    val queries = clips(Seq("aa bb cc dd"), _ => "q").toDS()
+    val run1 = FuzzyRetrieval.topkShuffle(queries, corpusDs, cfg(0.5f), 0,
+        noPerfect = true, checkpointDir = Some(dir))
+      .collect().map(r => (r.query_id, r.rank, r.s_id, r.score)).toSet
+    assert(run1.nonEmpty)
+    // rerun against a DIFFERENT (empty-ish) corpus with the same checkpoint
+    // dir: identical results prove the scored stage was restored, not
+    // recomputed from the new input
+    val otherCorpus = clips(Seq("zz yy xx"), _ => "other").toDS()
+    val run2 = FuzzyRetrieval.topkShuffle(queries, otherCorpus, cfg(0.5f), 0,
+        noPerfect = true, checkpointDir = Some(dir))
+      .collect().map(r => (r.query_id, r.rank, r.s_id, r.score)).toSet
+    assert(run2 == run1, s"resume diverged: ${(run1 -- run2).take(3)} / ${(run2 -- run1).take(3)}")
+  }
+
   test("shuffle path: contrastive rerank order matches the broadcast path") {
     import spark.implicits._
     val corpus = clips(Seq("a b c d", "b c d", "d e f"), _.toString).toDS()
