@@ -168,8 +168,15 @@ object CandidateStage {
   /** Channel C: tiny patterns (fewer than shingleK tokens). A tiny pattern
     * can only match sentences containing its FULL token sequence as a
     * contiguous substring (its clamped min-subsequence length equals its own
-    * length), so broadcast the tiny set and scan. */
-  def tinyChannel(toks: Dataset[TokRow], cfg: DedupConfig): Dataset[CandPair] = {
+    * length). Two formulations, auto-selected by tiny-set size:
+    *  - ≤ tinyPatternBroadcastCap: broadcast the tiny set and scan (exact,
+    *    cheapest — the common case: tiny transcripts are rare);
+    *  - beyond the cap: [[tinyChannelJoin]] — the set is no longer a valve
+    *    that throws, it degrades to an equi-join that scales. */
+  def tinyChannel(
+      toks: Dataset[TokRow],
+      cfg: DedupConfig,
+      cappedBuckets: LongAccumulator): Dataset[CandPair] = {
     val spark = toks.sparkSession
     import spark.implicits._
     val k = cfg.shingleK
@@ -180,8 +187,8 @@ object CandidateStage {
       .filter(_.n_tokens < k)
       .map(t => (t.clip_id, t.ids, t.n_tokens))
       .take(cfg.tinyPatternBroadcastCap + 1)
-    require(tiny.length <= cfg.tinyPatternBroadcastCap,
-      s"tiny-pattern set exceeds broadcast cap ${cfg.tinyPatternBroadcastCap}; raise it or shrink shingleK")
+    if (tiny.length > cfg.tinyPatternBroadcastCap)
+      return tinyChannelJoin(toks, cfg, cappedBuckets)
     if (tiny.isEmpty) return spark.emptyDataset[CandPair]
     val bc = spark.sparkContext.broadcast(tiny)
 
@@ -199,6 +206,88 @@ object CandidateStage {
       }
       out.iterator
     }
+  }
+
+  /** Bucket key of an n-gram with its length folded in (a 1-gram must never
+    * meet a 2-gram bucket). */
+  @inline private def gramKey(ids: Array[Long], start: Int, n: Int): Long =
+    Hashing.mix64(Hashing.shingleHash(ids, start, n) ^ (n.toLong * 0x9e3779b97f4a7c15L))
+
+  /** Channel C beyond the broadcast valve: the tiny pattern's full-sequence
+    * hash equi-joins the corpus's exploded (n < k)-gram position hashes.
+    * Containment becomes hash equality (64-bit — the same probabilistic
+    * envelope as every other hash channel), and the P5 window restricts the
+    * exploded corpus side to rows short enough to match ANY tiny length
+    * (at sane thresholds only near-tiny rows), so the explosion is bounded.
+    * Hot gram buckets are capped AND counted via the shared join kernel.
+    * Unlike the oriented self-join kernel, equal-length pairs here must
+    * keep the canonical orientation, so the join is inlined with both
+    * lengths retained. */
+  def tinyChannelJoin(
+      toks: Dataset[TokRow],
+      cfg: DedupConfig,
+      cappedBuckets: LongAccumulator): Dataset[CandPair] =
+    tinyJoinCore(toks, toks, cfg, cappedBuckets, selfDedup = true)
+
+  /** Shared core of the tiny-pattern equi-join: `selfDedup` excludes
+    * same-id pairs and orients (shorter = pattern); the cross-table form
+    * keeps self pairs and the fixed (query, corpus) direction. */
+  private def tinyJoinCore(
+      tinySide: Dataset[TokRow],
+      corpusSide: Dataset[TokRow],
+      cfg: DedupConfig,
+      cappedBuckets: LongAccumulator,
+      selfDedup: Boolean): Dataset[CandPair] = {
+    val spark = tinySide.sparkSession
+    import spark.implicits._
+    val k = cfg.shingleK
+    val mx = maxAcceptTable(cfg.editCosts, cfg.threshold, cfg.maxTokensInPattern)
+    val maxCand = (1 until k).map(n => mx(n)).max
+    val cap = cfg.shingleDfCap
+
+    val tinyE = tinySide.filter(t => t.n_tokens < k && t.n_tokens > 0)
+      .map(t => (gramKey(t.ids, 0, t.n_tokens), t.clip_id, t.n_tokens, mx(t.n_tokens)))
+      .toDF("sh", "a_id", "a_n", "a_mx")
+    val gramE = corpusSide.filter(_.n_tokens <= maxCand).flatMap { r =>
+      val seen = new java.util.HashSet[Long]()
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, String, Int)]
+      var n = 1
+      while (n < k) {
+        var p = 0
+        while (p + n <= r.n_tokens) {
+          val key = gramKey(r.ids, p, n)
+          if (seen.add(key)) out += ((key, r.clip_id, r.n_tokens))
+          p += 1
+        }
+        n += 1
+      }
+      out.iterator
+    }.toDF("sh", "b_id", "b_n")
+
+    // hot-gram metrics pre-pass + anti-join (gram side only: the tiny side
+    // has one entry per row — its buckets are the gram side's)
+    val hotBuckets = gramE.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > cap).count()
+    cappedBuckets.add(hotBuckets)
+    val gParted = gramE.repartition(col("sh"))
+    val gCounts = gParted.groupBy("sh").agg(count(lit(1)).as("df"))
+    val hot0 = gCounts.filter($"df" > cap).select("sh")
+    val hotKeys = if (hotBuckets <= 1000000L) broadcast(hot0) else hot0
+    val gCold = gParted.join(hotKeys, Seq("sh"), "left_anti")
+
+    val idCond =
+      if (selfDedup) tinyE("a_id") =!= gCold("b_id") else lit(true)
+    val joined = tinyE.join(gCold,
+      tinyE("sh") === gCold("sh") && idCond && gCold("b_n") <= tinyE("a_mx"))
+    if (selfDedup)
+      joined.select(
+        when($"a_n" < $"b_n" || ($"a_n" === $"b_n" && $"a_id" <= $"b_id"), $"a_id")
+          .otherwise($"b_id").as("p"),
+        when($"a_n" < $"b_n" || ($"a_n" === $"b_n" && $"a_id" <= $"b_id"), $"b_id")
+          .otherwise($"a_id").as("c"))
+        .as[CandPair]
+    else
+      joined.select($"a_id".as("p"), $"b_id".as("c")).as[CandPair]
   }
 
   /** Orient a pair (pattern = shorter side). */
@@ -329,7 +418,8 @@ object CandidateStage {
   def crossTinyChannel(
       qToks: Dataset[TokRow],
       cToks: Dataset[TokRow],
-      cfg: DedupConfig): Dataset[CandPair] = {
+      cfg: DedupConfig,
+      cappedBuckets: LongAccumulator): Dataset[CandPair] = {
     val spark = qToks.sparkSession
     import spark.implicits._
     val k = cfg.shingleK
@@ -340,8 +430,8 @@ object CandidateStage {
       .filter(_.n_tokens < k)
       .map(t => (t.clip_id, t.ids, t.n_tokens))
       .take(cfg.tinyPatternBroadcastCap + 1)
-    require(tiny.length <= cfg.tinyPatternBroadcastCap,
-      s"tiny-query set exceeds broadcast cap ${cfg.tinyPatternBroadcastCap}; raise it or shrink shingleK")
+    if (tiny.length > cfg.tinyPatternBroadcastCap)
+      return tinyJoinCore(qToks, cToks, cfg, cappedBuckets, selfDedup = false)
     if (tiny.isEmpty) return spark.emptyDataset[CandPair]
     val bc = spark.sparkContext.broadcast(tiny)
 
@@ -376,7 +466,7 @@ object CandidateStage {
       cands = cands.union(crossNgramChannel(qToks, cToks, cfg, cappedShingleBuckets))
     if (cfg.useMinhashChannel)
       cands = cands.union(crossMinhashChannel(qSigs, cSigs, cfg, cappedBandBuckets))
-    cands = cands.union(crossTinyChannel(qToks, cToks, cfg))
+    cands = cands.union(crossTinyChannel(qToks, cToks, cfg, cappedShingleBuckets))
     cands.dropDuplicates("p", "c").as[CandPair]
   }
 
@@ -409,7 +499,7 @@ object CandidateStage {
       cands = cands.union(ngramChannel(toks, cfg, cappedShingleBuckets, cappedShinglePairs))
     if (cfg.useMinhashChannel)
       cands = cands.union(minhashChannel(sigs, cfg, cappedBandBuckets))
-    cands = cands.union(tinyChannel(toks, cfg))
+    cands = cands.union(tinyChannel(toks, cfg, cappedShingleBuckets))
     cands.dropDuplicates("p", "c").as[CandPair]
   }
 }

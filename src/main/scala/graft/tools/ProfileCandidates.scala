@@ -46,7 +46,7 @@ object ProfileCandidates {
     timed("minhashChannel")(mh.count())
     println(s"PROFILE minhash capped_buckets=${a3.value}")
 
-    val tiny = CandidateStage.tinyChannel(toks, cfg)
+    val tiny = CandidateStage.tinyChannel(toks, cfg, spark.sparkContext.longAccumulator)
     timed("tinyChannel")(tiny.count())
 
     timed("union+dropDup")(ng.union(mh).union(tiny).dropDuplicates("p", "c").count())

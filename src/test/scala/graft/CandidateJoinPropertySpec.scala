@@ -128,4 +128,31 @@ class CandidateJoinPropertySpec extends AnyFunSuite {
         s"trial $trial: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     }
   }
+
+  test("tiny-pattern equi-join equals the broadcast scan (and auto-selects past the cap)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    // many tiny (1-2 token) rows + short rows for them to be contained in
+    val rows = (0 until 200).map { i =>
+      val len = 1 + rng.nextInt(4)
+      (f"t_$i%04d", Array.fill(len)(s"w${rng.nextInt(6)}").mkString(" "))
+    }
+    // high gram cap: the equality is vs the UNCAPPED broadcast scan
+    val cfg = DedupConfig(shingleDfCap = 100000)
+    val clips = rows.map { case (id, t) =>
+      graft.data.Clip(id, Array[Byte](), 16000, 1, "pcm_s16le", t) }.toDS()
+    val toks = TokenizeStage(clips, cfg)
+    val bcast = CandidateStage.tinyChannel(toks, cfg, spark.sparkContext.longAccumulator)
+      .collect().map(cp => (cp.p, cp.c)).toSet
+    assert(bcast.nonEmpty, "vacuous tiny-channel fixture")
+    val joined = CandidateStage.tinyChannelJoin(toks, cfg, spark.sparkContext.longAccumulator)
+      .collect().map(cp => (cp.p, cp.c)).toSet
+    assert(joined == bcast,
+      s"missing=${(bcast -- joined).take(5)} extra=${(joined -- bcast).take(5)}")
+    // past the broadcast cap the channel must degrade to the join, not throw
+    val auto = CandidateStage.tinyChannel(toks, cfg.copy(tinyPatternBroadcastCap = 1),
+        spark.sparkContext.longAccumulator)
+      .collect().map(cp => (cp.p, cp.c)).toSet
+    assert(auto == bcast)
+  }
 }
