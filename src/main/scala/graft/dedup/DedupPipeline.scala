@@ -223,6 +223,10 @@ object DedupPipeline {
       metrics ++= Metrics.perPartition("edges", allEdges)
       graft.data.TableIO.write(metrics.toSeq.toDS().toDF(), stagePath(dir, "metrics"))
     }
+    // edges/clusters are persisted AND materialized (counted) above, so the
+    // token cache has no remaining consumer — release it rather than pinning
+    // one tokenized corpus copy per pipeline run in a long-lived session
+    toks.unpersist()
     DedupResult(clusters, allEdges, metrics.toSeq)
   }
 }

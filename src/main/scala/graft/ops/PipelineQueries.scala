@@ -293,6 +293,11 @@ object PipelineQueries {
       order.take(np).iterator.map(c => (c, id, v))
     }.toDF("cell", "q_id", "q_emb")
 
+    // the cache earned its keep across the Lloyd collect()s above; the final
+    // plan below re-derives `unit` with two narrow scans instead of pinning
+    // a cached copy per invocation for the life of the session
+    unit.unpersist()
+
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
     probes.join(lists, "cell")
       .filter(col("q_id") =!= col("c_id"))
