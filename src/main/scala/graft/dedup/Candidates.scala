@@ -231,7 +231,10 @@ object CandidateStage {
 
   /** Shared core of the tiny-pattern equi-join: `selfDedup` excludes
     * same-id pairs and orients (shorter = pattern); the cross-table form
-    * keeps self pairs and the fixed (query, corpus) direction. */
+    * keeps self pairs and the fixed (query, corpus) direction. The window
+    * table matches each caller's broadcast-path semantics: both-orientation
+    * [[lengthReject]] for self-dedup, one-sided pattern-is-query rejection
+    * for retrieval (they differ only under asymmetric insert/delete costs). */
   private def tinyJoinCore(
       tinySide: Dataset[TokRow],
       corpusSide: Dataset[TokRow],
@@ -241,7 +244,9 @@ object CandidateStage {
     val spark = tinySide.sparkSession
     import spark.implicits._
     val k = cfg.shingleK
-    val mx = maxAcceptTable(cfg.editCosts, cfg.threshold, cfg.maxTokensInPattern)
+    val mx =
+      if (selfDedup) maxAcceptTable(cfg.editCosts, cfg.threshold, cfg.maxTokensInPattern)
+      else acceptWindowTable(cfg.editCosts, cfg.threshold, cfg.maxTokensInPattern)._2
     val maxCand = (1 until k).map(n => mx(n)).max
     val cap = cfg.shingleDfCap
 
