@@ -31,7 +31,7 @@ final case class SubseqRow(
   * the query table — embarrassingly parallel, no shuffle at all; the only
   * exchange in the whole plan is the corpus collect+broadcast). The corpus
   * index is built once per executor JVM and cached by broadcast id
-  * (keep-last-1, shared with [[BroadcastVerifyStage]]).
+  * (2-entry LRU, shared with [[BroadcastVerifyStage]]).
   *
   * Scale envelope: the corpus must fit in executor memory (the same
   * condition as the reference's in-RAM `.fmi` index and as
@@ -41,8 +41,9 @@ final case class SubseqRow(
   * shuffle, which is the axis that actually grows in a training-data
   * pipeline (dedup-vs-reference-corpus, contamination checks against a
   * fixed eval set, TM lookup for an unbounded translation stream). A
-  * beyond-memory CORPUS falls back to the self-dedup machinery's LSH
-  * candidate path (union the two tables, tag sides, keep cross-side edges).
+  * beyond-memory CORPUS goes through [[topkShuffle]]: cross-table LSH/
+  * shingle candidate channels + the cogroup verify kernel, never holding
+  * the corpus in one place.
   */
 object FuzzyRetrieval {
 
