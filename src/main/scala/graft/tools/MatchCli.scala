@@ -10,13 +10,15 @@ import graft.dedup.{DedupConfig, DedupPipeline, FuzzyRetrieval}
   *
   * Usage:
   *   MatchCli <corpus> <queries> <outDir|-> [threshold=0.8] [nmatch=5]
-  *            [noPerfect=false] [strategy=broadcast|shuffle]
+  *            [noPerfect=false] [strategy=broadcast|shuffle] [action=match|subseq]
   *
   * `corpus` / `queries`: a clip parquet path (input_hint schema), a text
   * file (`.txt`/`.gz`, one sentence per line — ids are 1-based line numbers,
   * the CLI's S1 convention), or `synth:N`. `outDir` `-` prints the first
   * rows instead of writing. Emits the reference's `NMATCH nonempty/total`
-  * counter line (FuzzyMatch-cli.cc:452-458).
+  * counter line (FuzzyMatch-cli.cc:452-458). `action=subseq` runs the
+  * best-subsequence retrieval (`-a subseq`, broadcast index only) and emits
+  * one row per query with the detokenized matched span.
   */
 object MatchCli {
   def main(args: Array[String]): Unit = {
@@ -27,29 +29,40 @@ object MatchCli {
     val nmatch = if (args.length > 4) args(4).toInt else 5
     val noPerfect = args.length > 5 && args(5).toBoolean
     val strategy = if (args.length > 6) args(6) else "broadcast"
+    val action = if (args.length > 7) args(7) else "match"
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = DedupPipeline.sessionBuilder("graft-match", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     val cfg = DedupConfig(threshold = threshold)
     val corpus = load(spark, corpusArg)
     val queries = load(spark, queriesArg)
     val nQueries = queries.count()
 
-    val results = strategy match {
-      case "shuffle" => FuzzyRetrieval.topkShuffle(queries, corpus, cfg, nmatch, noPerfect)
-      case "broadcast" => FuzzyRetrieval.topk(queries, corpus, cfg, nmatch, noPerfect)
-      case other => sys.error(s"unknown strategy '$other' (use broadcast|shuffle)")
+    val (results, rankCol) = (action, strategy) match {
+      case ("match", "shuffle") =>
+        (FuzzyRetrieval.topkShuffle(queries, corpus, cfg, nmatch, noPerfect).toDF(), "rank")
+      case ("match", "broadcast") =>
+        (FuzzyRetrieval.topk(queries, corpus, cfg, nmatch, noPerfect).toDF(), "rank")
+      case ("subseq", "broadcast") =>
+        (FuzzyRetrieval.subsequence(queries, corpus, cfg, nmatch, noPerfect).toDF(), "s_id")
+      case ("subseq", other) =>
+        sys.error(s"action subseq supports only the broadcast strategy (got '$other')")
+      case (a, s) =>
+        sys.error(s"unknown action/strategy '$a'/'$s' (use match|subseq, broadcast|shuffle)")
     }
 
-    import spark.implicits._
     val persisted = results.persist()
-    val nonempty = persisted.filter(_.rank == 1).count()
+    // nonempty = queries with at least one result row (for match, rank 1
+    // exists iff any row exists; for subseq there is at most one row)
+    val nonempty = persisted.select("query_id").distinct().count()
     if (outDir == "-") {
-      persisted.orderBy($"query_id", $"rank").show(50, truncate = false)
+      persisted.orderBy(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col(rankCol)).show(50, truncate = false)
     } else {
-      TableIO.write(persisted.toDF(), outDir, SaveMode.Overwrite)
+      TableIO.write(persisted, outDir, SaveMode.Overwrite)
     }
     println(s"NMATCH $nonempty/$nQueries")
     spark.stop()

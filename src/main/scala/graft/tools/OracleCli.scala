@@ -12,6 +12,11 @@ import graft.text.PT
   *
   * Usage: OracleCli CORPUS [fuzzy=0.8] [nmatch=5] [noPerfect=false] [ml=3] [mr=0.3] [patternsFile]
   * Patterns come from `patternsFile` when given, else stdin.
+  *
+  * Index persistence — the reference's `-a index` / `-i file.fmi` workflow
+  * (FuzzyMatch-cli.cc:417-443, S2/S3): a CORPUS ending in `.gfm` is LOADED
+  * as a serialized index instead of re-indexed, and `GRAFT_SAVE_INDEX=path`
+  * saves the built index after indexing (index once, match many).
   */
 object OracleCli {
   def main(args: Array[String]): Unit = {
@@ -24,15 +29,29 @@ object OracleCli {
     val ml = if (args.length > 4) args(4).toInt else 3
     val mr = if (args.length > 5) args(5).toFloat else 0.3f
 
-    // corpus may be plain text, .gz, a "src,tgt" parallel pair, or inline
-    // TAB-split bitext (reference import_tm, FuzzyMatch-cli.cc:32-79);
-    // GRAFT_ADD_TARGET=1 appends "=tgt" to ids, =2 uses the target as the id
-    val fm = new FuzzyMatcher(PT.default)
-    val addTargetMode = sys.env.getOrElse("GRAFT_ADD_TARGET", "0")
-    val n = CorpusImport.importTm(fm, corpus,
-      addTarget = addTargetMode == "1", addTargetNoIndex = addTargetMode == "2")
-    fm.sort()
-    System.err.println(s"indexed $n sentences from $corpus")
+    // corpus may be plain text, .gz, a "src,tgt" parallel pair, inline
+    // TAB-split bitext (reference import_tm, FuzzyMatch-cli.cc:32-79), or a
+    // serialized .gfm index; GRAFT_ADD_TARGET=1 appends "=tgt" to ids,
+    // =2 uses the target as the id
+    val fm =
+      if (corpus.endsWith(".gfm")) {
+        val loaded = FuzzyMatcher.load(corpus)
+        loaded.sort()
+        System.err.println(s"loaded index $corpus")
+        loaded
+      } else {
+        val m = new FuzzyMatcher(PT.default)
+        val addTargetMode = sys.env.getOrElse("GRAFT_ADD_TARGET", "0")
+        val n = CorpusImport.importTm(m, corpus,
+          addTarget = addTargetMode == "1", addTargetNoIndex = addTargetMode == "2")
+        m.sort()
+        System.err.println(s"indexed $n sentences from $corpus")
+        sys.env.get("GRAFT_SAVE_INDEX").foreach { p =>
+          m.save(p)
+          System.err.println(s"saved index to $p")
+        }
+        m
+      }
 
     val params = Matcher.Params(fuzzy = fuzzy, numberOfMatches = nmatch,
       noPerfect = noPerfect, minSubseqLength = ml, minSubseqRatio = mr)
