@@ -301,9 +301,8 @@ object PipelineQueries {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
     probes.join(lists, "cell")
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("sim", round(expr(
-        "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)), " +
-        "cast(0 as double), (acc, v) -> acc + v)"), 4))
+      .withColumn("sim",
+        round(graft.functions.VectorExprs.dotF(col("q_emb"), col("c_emb")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rn").cast("bigint").as("rn"))

@@ -257,28 +257,28 @@ object Queries {
   }
 
   // ---------------- similarity search (embeddings) ----------------
+  // vector math runs through graft's native codegen expressions
+  // (functions/VectorExprs.scala) — the SQL aggregate(zip_with(...)) forms
+  // they replace evaluate an interpreted lambda per element and fence off
+  // whole-stage codegen; results are bit-identical (same accumulation order)
 
-  private val dotExpr =
-    "aggregate(zip_with(a_emb, b_emb, (x, y) -> cast(x as double) * cast(y as double)), " +
-    "cast(0 as double), (acc, v) -> acc + v)"
-  private val normExpr =
-    "sqrt(aggregate(embedding, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+  import graft.functions.VectorExprs.{dotF, l2normF}
 
   /** L2 norm per embedding (vector scalar function family). */
   def qEmbedNorm(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
-      .select(col("vec_id"), round(expr(normExpr), 4).as("l2"))
+      .select(col("vec_id"), round(l2normF(col("embedding")), 4).as("l2"))
 
   /** Brute-force cosine top-5 neighbors for the first 10 vectors (the exact
     * ANN baseline; the LSH-bucketed variant is the scale path). */
   def qAnnTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), expr(normExpr).as("nrm"))
+      .select(col("vec_id"), col("embedding"), l2normF(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < 10).toDF("q_id", "a_emb", "a_nrm")
     val c = e.toDF("c_id", "b_emb", "b_nrm")
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
     q.join(c, col("q_id") =!= col("c_id"))
-      .withColumn("sim", round(expr(dotExpr) / (col("a_nrm") * col("b_nrm")), 4))
+      .withColumn("sim", round(dotF(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("c_id"), col("sim"), col("rn").cast("bigint").as("rn"))
