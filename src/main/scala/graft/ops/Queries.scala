@@ -167,13 +167,13 @@ object Queries {
   }
 
   /** Document fingerprint: rolling polynomial hash (31, mod 2^31−1) over the
-    * text — identical integer arithmetic on both engines. */
+    * text — identical integer arithmetic on both engines, computed by the
+    * native codegen expression (functions/TextExprs.scala; the SQL
+    * aggregate-over-transform form ran two interpreted lambdas per char). */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"), expr(
-        "aggregate(transform(sequence(1, char_length(text)), " +
-        "i -> cast(ascii(substring(text, i, 1)) as bigint)), cast(0 as bigint), " +
-        "(acc, c) -> (acc * 31 + c) % 2147483647)").as("fp"))
+      .select(col("doc_id"),
+        graft.functions.TextExprs.rollingHashF(col("text")).as("fp"))
 
   /** Max documents sharing one (lang, shingle) before the shingle is dropped
     * from every document's set — the hot-shingle valve (mirrored exactly in
