@@ -45,8 +45,15 @@ object BroadcastVerifyStage {
         // per-word document frequency (A3 sfreq) for the IDF penalty vector
         val df = scala.collection.mutable.LongMap.empty[Int]
         val seen = new java.util.HashSet[java.lang.Long]()
+        // id-uniqueness contract, enforced at index build like the cogroup
+        // path's salted-group guard — duplicate ids must fail loudly on
+        // EVERY verify strategy, not score one row silently
+        val ids = new java.util.HashSet[String](rows.length * 2)
         var i = 0
         while (i < rows.length) {
+          if (!ids.add(rows(i).clip_id))
+            throw new IllegalStateException(
+              s"duplicate clip_id '${rows(i).clip_id}' in the corpus — clip ids must be unique")
           index.add(rows(i).ids)
           docs(i) = Doc(rows(i).ids, rows(i).reals, rows(i).itoks)
           if (needDf) {

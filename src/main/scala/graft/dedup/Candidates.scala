@@ -84,22 +84,27 @@ object CandidateStage {
     * side is aggregated first (map-side partial agg) and is tiny relative to
     * the corpus — it is counted on the driver into the metric accumulators,
     * so capping is never silent, and broadcast into the anti-join when small. */
-  def bucketJoinPairs(
-      entries: Dataset[BucketEntry],
+  /** THE hot-bucket valve, shared by every bucketed channel (self-join,
+    * cross-table, tiny-gram): an eager, cheap metrics pre-pass off the raw
+    * `entries` — a map-side partial agg shuffling only (sh, partial-count)
+    * pairs, deliberately NOT the full exchange below (shuffle files are not
+    * reused across separate actions, so an eager action through `parted`
+    * would pay the whole entries exchange twice — measured 6× slower on the
+    * candidates stage at 120k clips) — then ONE repartitioned exchange with
+    * the hot keys anti-joined away, reused WITHIN the main job by the
+    * df-aggregate, the anti-join probe and the downstream join sides
+    * (identical canonical subtree → ReusedExchange). The hot-key set is
+    * broadcast only while genuinely small (1M keys ≈ tens of MB as a
+    * HashedRelation); beyond that the anti-join shuffles and AQE may still
+    * pick a broadcast from runtime stats. Input must carry an `sh` bucket
+    * column; output is the cold entries ON the exchange. */
+  private[dedup] def dropHotBuckets(
+      entries: org.apache.spark.sql.DataFrame,
       cap: Int,
       cappedBuckets: LongAccumulator,
-      cappedPairsLost: Option[LongAccumulator]): Dataset[CandPair] = {
+      cappedPairsLost: Option[LongAccumulator]): org.apache.spark.sql.DataFrame = {
     val spark = entries.sparkSession
     import spark.implicits._
-
-    // eager, cheap pre-pass for the hot-bucket metrics and the broadcast
-    // decision: a map-side partial agg straight off `entries` (upstream
-    // toks/sigs are persisted by the pipeline, so this re-reads cached rows)
-    // shuffling only (sh, partial-count) pairs — deliberately NOT the full
-    // `parted` exchange below: shuffle files are not reused across separate
-    // actions, so an eager action through `parted` would pay the whole
-    // entries exchange twice (measured 6× slower on the candidates stage at
-    // 120k clips).
     val stats = entries.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter($"df" > cap)
       .agg(count(lit(1)).as("buckets"),
@@ -108,17 +113,21 @@ object CandidateStage {
     cappedBuckets.add(hotBuckets)
     cappedPairsLost.foreach(_.add(stats.getLong(1)))
 
-    // one wide exchange, reused WITHIN the main job by the df-aggregate, the
-    // anti-join probe and BOTH self-join sides (identical canonical subtree
-    // → ReusedExchange)
     val parted = entries.repartition(col("sh"))
     val counts = parted.groupBy("sh").agg(count(lit(1)).as("df"))
     val hot0 = counts.filter($"df" > cap).select("sh")
-    // broadcast the hot-key set only while it is genuinely small: 1M Long
-    // keys ≈ tens of MB as a HashedRelation — beyond that, let the anti-join
-    // shuffle (AQE can still pick a broadcast if runtime stats allow)
     val hotKeys = if (hotBuckets <= 1000000L) broadcast(hot0) else hot0
-    val cold = parted.join(hotKeys, Seq("sh"), "left_anti")
+    parted.join(hotKeys, Seq("sh"), "left_anti")
+  }
+
+  def bucketJoinPairs(
+      entries: Dataset[BucketEntry],
+      cap: Int,
+      cappedBuckets: LongAccumulator,
+      cappedPairsLost: Option[LongAccumulator]): Dataset[CandPair] = {
+    val spark = entries.sparkSession
+    import spark.implicits._
+    val cold = dropHotBuckets(entries.toDF(), cap, cappedBuckets, cappedPairsLost)
 
     val a = cold.select($"sh", $"id".as("a_id"), $"n".as("a_n"), $"mx".as("a_mx"))
     val b = cold.select($"sh".as("b_sh"), $"id".as("b_id"), $"n".as("b_n"))
@@ -269,16 +278,15 @@ object CandidateStage {
       out.iterator
     }.toDF("sh", "b_id", "b_n")
 
-    // hot-gram metrics pre-pass + anti-join (gram side only: the tiny side
-    // has one entry per row — its buckets are the gram side's)
-    val hotBuckets = gramE.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter($"df" > cap).count()
-    cappedBuckets.add(hotBuckets)
-    val gParted = gramE.repartition(col("sh"))
-    val gCounts = gParted.groupBy("sh").agg(count(lit(1)).as("df"))
-    val hot0 = gCounts.filter($"df" > cap).select("sh")
-    val hotKeys = if (hotBuckets <= 1000000L) broadcast(hot0) else hot0
-    val gCold = gParted.join(hotKeys, Seq("sh"), "left_anti")
+    // hot-gram valve on the gram side only (the tiny side has one entry per
+    // row — its buckets ARE the gram side's). RECOVERY BOUNDARY, documented
+    // honestly: a dropped hot gram loses its (tiny ⊂ near-tiny) containment
+    // pairs — the MinHash channel recovers only EXACT tiny duplicates
+    // (identical tiny rows share their clamped full-sequence shingle and so
+    // co-bucket in bands; a tiny row never shares k-shingles with a longer
+    // row). The loss is visible in the caller's dedicated tiny-gram
+    // accumulator, never lumped into the shingle channel's.
+    val gCold = dropHotBuckets(gramE, cap, cappedBuckets, None)
 
     val idCond =
       if (selfDedup) tinyE("a_id") =!= gCold("b_id") else lit(true)
@@ -352,22 +360,9 @@ object CandidateStage {
     val spark = qEntries.sparkSession
     import spark.implicits._
 
-    def coldSide[T](entries: Dataset[T]): Dataset[T] = {
-      // metrics pre-pass off the raw entries (partial agg, small shuffle) —
-      // never through the main exchange, which cross-action runs can't reuse
-      val hotBuckets = entries.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter($"df" > cap).count()
-      cappedBuckets.add(hotBuckets)
-      val parted = entries.repartition(col("sh"))
-      val counts = parted.groupBy("sh").agg(count(lit(1)).as("df"))
-      val hot0 = counts.filter($"df" > cap).select("sh")
-      val hotKeys = if (hotBuckets <= 1000000L) broadcast(hot0) else hot0
-      parted.join(hotKeys, Seq("sh"), "left_anti").as[T](entries.encoder)
-    }
-
-    val q = coldSide(qEntries)
+    val q = dropHotBuckets(qEntries.toDF(), cap, cappedBuckets, None)
       .select($"sh", $"id".as("q_id"), $"mn".as("q_mn"), $"mx".as("q_mx"))
-    val c = coldSide(cEntries)
+    val c = dropHotBuckets(cEntries.toDF(), cap, cappedBuckets, None)
       .select($"sh".as("c_sh"), $"id".as("c_id"), $"n".as("c_n"))
     q.join(c, $"sh" === $"c_sh" && $"c_n" >= $"q_mn" && $"c_n" <= $"q_mx")
       .select($"q_id".as("p"), $"c_id".as("c"))
@@ -463,7 +458,8 @@ object CandidateStage {
       cSigs: => Dataset[SigRow],
       cfg: DedupConfig,
       cappedShingleBuckets: LongAccumulator,
-      cappedBandBuckets: LongAccumulator): Dataset[CandPair] = {
+      cappedBandBuckets: LongAccumulator,
+      cappedTinyGramBuckets: LongAccumulator): Dataset[CandPair] = {
     val spark = qToks.sparkSession
     import spark.implicits._
     var cands = spark.emptyDataset[CandPair]
@@ -471,7 +467,7 @@ object CandidateStage {
       cands = cands.union(crossNgramChannel(qToks, cToks, cfg, cappedShingleBuckets))
     if (cfg.useMinhashChannel)
       cands = cands.union(crossMinhashChannel(qSigs, cSigs, cfg, cappedBandBuckets))
-    cands = cands.union(crossTinyChannel(qToks, cToks, cfg, cappedShingleBuckets))
+    cands = cands.union(crossTinyChannel(qToks, cToks, cfg, cappedTinyGramBuckets))
     cands.dropDuplicates("p", "c").as[CandPair]
   }
 
@@ -496,7 +492,8 @@ object CandidateStage {
       cfg: DedupConfig,
       cappedShingleBuckets: LongAccumulator,
       cappedShinglePairs: LongAccumulator,
-      cappedBandBuckets: LongAccumulator): Dataset[CandPair] = {
+      cappedBandBuckets: LongAccumulator,
+      cappedTinyGramBuckets: LongAccumulator): Dataset[CandPair] = {
     val spark = toks.sparkSession
     import spark.implicits._
     var cands = spark.emptyDataset[CandPair]
@@ -504,7 +501,7 @@ object CandidateStage {
       cands = cands.union(ngramChannel(toks, cfg, cappedShingleBuckets, cappedShinglePairs))
     if (cfg.useMinhashChannel)
       cands = cands.union(minhashChannel(sigs, cfg, cappedBandBuckets))
-    cands = cands.union(tinyChannel(toks, cfg, cappedShingleBuckets))
+    cands = cands.union(tinyChannel(toks, cfg, cappedTinyGramBuckets))
     cands.dropDuplicates("p", "c").as[CandPair]
   }
 }

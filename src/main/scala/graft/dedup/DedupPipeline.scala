@@ -160,8 +160,10 @@ object DedupPipeline {
         val cappedShingleBuckets = sc.longAccumulator("cappedShingleBuckets")
         val cappedShinglePairs = sc.longAccumulator("cappedShinglePairsLost")
         val cappedBandBuckets = sc.longAccumulator("cappedBandBuckets")
+        val cappedTinyGramBuckets = sc.longAccumulator("cappedTinyGramBuckets")
         val cands = checkpointed("candidates",
-          CandidateStage(toks, sigs, cfg, cappedShingleBuckets, cappedShinglePairs, cappedBandBuckets))(_.as[CandPair])
+          CandidateStage(toks, sigs, cfg, cappedShingleBuckets, cappedShinglePairs,
+            cappedBandBuckets, cappedTinyGramBuckets))(_.as[CandPair])
           .persist()
         val nCands = timed("candidates", nToks, {
           if (restoredStages("candidates"))
@@ -172,7 +174,8 @@ object DedupPipeline {
             "strategy" -> "shuffle",
             "capped_shingle_buckets" -> cappedShingleBuckets.value.toString,
             "capped_shingle_pairs_lost" -> cappedShinglePairs.value.toString,
-            "capped_band_buckets" -> cappedBandBuckets.value.toString)
+            "capped_band_buckets" -> cappedBandBuckets.value.toString,
+            "capped_tiny_gram_buckets" -> cappedTinyGramBuckets.value.toString)
         })(cands.count())
         timed("verify", nCands,
           if (restoredStages("edges")) Map("restored" -> "true") else Map.empty) {

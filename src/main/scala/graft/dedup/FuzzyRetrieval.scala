@@ -180,6 +180,12 @@ object FuzzyRetrieval {
           val path = s"$dir/$name"
           if (!graft.data.TableIO.exists(spark, path))
             graft.data.TableIO.write(compute.toDF(), path)
+          else
+            // same discipline as the pipeline's restoredStages tracking: a
+            // restored stage's channel accumulators never ran — say so
+            // rather than letting their zeros read as "nothing was capped"
+            System.err.println(
+              s"[retrieval] restored checkpoint '$name' — stage accumulators did not run")
           read(graft.data.TableIO.read(spark, path))
         case None => compute
       }
@@ -192,7 +198,8 @@ object FuzzyRetrieval {
     val cands = checkpointed("retrieval_candidates",
       CandidateStage.cross(qToks, cToks, qSigs, cSigs, cfg,
         sc.longAccumulator("retrievalCappedShingleBuckets"),
-        sc.longAccumulator("retrievalCappedBandBuckets")))(_.as[CandPair])
+        sc.longAccumulator("retrievalCappedBandBuckets"),
+        sc.longAccumulator("retrievalCappedTinyGramBuckets")))(_.as[CandPair])
 
     // verify: patterns = queries with ≥1 candidate; candidates = corpus rows
     val params = Matcher.Params(

@@ -24,7 +24,12 @@ object VectorExprs {
     case _ => false
   }
 
-  /** Σ aᵢ·bᵢ over the common prefix of two float arrays (double accum). */
+  /** Σ aᵢ·bᵢ of two float arrays (double accum). NULL-parity with the SQL
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, +)` it replaces: unequal
+    * lengths → NULL (zip_with null-pads the shorter side and the null
+    * propagates through the sum — it does NOT truncate), and any NULL
+    * element → NULL. A malformed vector must surface as NULL and fall out
+    * of a top-k orderBy, never as a silent partial sum. */
   final case class DotProductF(left: Expression, right: Expression)
       extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
@@ -34,14 +39,20 @@ object VectorExprs {
         s"$prettyName requires two array<float> inputs, got ${left.dataType} / ${right.dataType}")
     override def dataType: DataType = DoubleType
     override def prettyName: String = "dot_product_f"
+    override def nullable: Boolean = true
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var s = 0.0
       var i = 0
-      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
       s
     }
 
@@ -51,12 +62,17 @@ object VectorExprs {
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |  }
+           |  if (!${ev.isNull}) ${ev.value} = $s;
            |}
-           |${ev.value} = $s;
          """.stripMargin
       })
 
@@ -65,7 +81,9 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
-  /** √(Σ xᵢ²) of a float array (double accum, same order as the SQL form). */
+  /** √(Σ xᵢ²) of a float array (double accum, same order as the SQL form);
+    * a NULL element propagates to a NULL result, exactly as it does through
+    * the SQL `aggregate` accumulator. */
   final case class L2NormF(child: Expression)
       extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
@@ -74,13 +92,19 @@ object VectorExprs {
         s"$prettyName requires an array<float> input, got ${child.dataType}")
     override def dataType: DataType = DoubleType
     override def prettyName: String = "l2_norm_f"
+    override def nullable: Boolean = true
 
     override protected def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val n = x.numElements()
       var s = 0.0
       var i = 0
-      while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        val v = x.getFloat(i).toDouble
+        s += v * v
+        i += 1
+      }
       math.sqrt(s)
     }
 
@@ -94,10 +118,11 @@ object VectorExprs {
            |int $n = $a.numElements();
            |double $s = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  double $v = (double) $a.getFloat($i);
            |  $s += $v * $v;
            |}
-           |${ev.value} = java.lang.Math.sqrt($s);
+           |if (!${ev.isNull}) ${ev.value} = java.lang.Math.sqrt($s);
          """.stripMargin
       })
 

@@ -23,7 +23,7 @@ import graft.dedup.{DedupConfig, DedupPipeline, FuzzyRetrieval}
 object MatchCli {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: MatchCli <corpus> <queries> <outDir|-> " +
-      "[threshold] [nmatch] [noPerfect] [strategy]")
+      "[threshold] [nmatch] [noPerfect] [broadcast|shuffle] [match|subseq]")
     val Array(corpusArg, queriesArg, outDir) = args.take(3)
     val threshold = if (args.length > 3) args(3).toFloat else 0.8f
     val nmatch = if (args.length > 4) args(4).toInt else 5

@@ -35,8 +35,8 @@ object OracleCli {
     // =2 uses the target as the id
     val fm =
       if (corpus.endsWith(".gfm")) {
+        // load() already rebuilds + sorts the suffix array — no second sort
         val loaded = FuzzyMatcher.load(corpus)
-        loaded.sort()
         System.err.println(s"loaded index $corpus")
         loaded
       } else {

@@ -237,12 +237,16 @@ class DedupPipelineSpec extends AnyFunSuite {
       graft.data.Clip("A", Array[Byte](), 16000, 1, "pcm_s16le", "aa bb cc dd"),
       graft.data.Clip("A", Array[Byte](), 16000, 1, "pcm_s16le", "aa bb cc ee"),
       graft.data.Clip("B", Array[Byte](), 16000, 1, "pcm_s16le", "aa bb cc dd ee")).toDS()
-    val e = intercept[Exception] {
-      DedupPipeline.run(clips, cfg.copy(strategy = "shuffle")).edges.collect()
-    }
     def messages(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ messages(x.getCause)
-    assert(messages(e).exists(_.contains("duplicate clip_id")),
-      s"expected the duplicate-id contract error, got: ${messages(e).mkString(" | ")}")
+    // BOTH verify strategies must enforce the contract — identical input,
+    // identical outcome regardless of corpus size / broadcast decision
+    for (strategy <- Seq("shuffle", "broadcast")) {
+      val e = intercept[Exception] {
+        DedupPipeline.run(clips, cfg.copy(strategy = strategy)).edges.collect()
+      }
+      assert(messages(e).exists(_.contains("duplicate clip_id")),
+        s"$strategy: expected the duplicate-id contract error, got: ${messages(e).mkString(" | ")}")
+    }
   }
 }

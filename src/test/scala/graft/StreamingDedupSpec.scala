@@ -100,14 +100,24 @@ class StreamingDedupSpec extends AnyFunSuite {
     queries.toDS().write.mode("overwrite").parquet(dir)
 
     val rcfg = DedupConfig(threshold = 0.7f, minSubseqLength = 2, minSubseqRatio = 0f)
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt4").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("stream-sink4").toString + "/out"
     val stream = spark.readStream.schema(StreamingDedup.clipSchema).parquet(dir)
       .as[graft.data.Clip]
-    val q = StreamingDedup.retrievalAgainstCorpus(stream, corpus, rcfg, 5)
-      .writeStream.outputMode(OutputMode.Append()).format("memory")
-      .queryName("retrieval_sink").start()
-    q.processAllAvailable()
-    q.stop()
-    val got = spark.sql("select * from retrieval_sink")
+    // FILE sink + checkpoint: the sink that actually supports restart
+    // recovery (memory sinks cannot recover), so leg 2 below can prove
+    // incremental processing
+    def runLeg(): Unit = {
+      val q = StreamingDedup.retrievalAgainstCorpus(stream, corpus, rcfg, 5)
+        .writeStream.outputMode(OutputMode.Append()).format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runLeg()
+    val got = spark.read.parquet(sinkDir)
       .as[graft.dedup.RetrievalRow].collect()
       .map(r => (r.query_id, r.rank, r.s_id, r.score)).toSet
     // FUZZY2 fixture for q1; NUM2 (at 0.7 ≥ 0.8 fixture threshold) for q2
@@ -117,21 +127,20 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(got.contains(("q1", 1, "1", 0.75)) || got.exists(t => t._1 == "q1" && t._3 == "1"))
     assert(got.exists(t => t._1 == "q2" && t._3 == "4"))
 
-    // second micro-batch: a new query file lands in the source directory —
-    // the SAME corpus index (one broadcast, cached per executor) serves it
-    // and its results append without reprocessing the first batch
-    val before = spark.sql("select * from retrieval_sink").count()
+    // second micro-batch: a new query file lands and the query RESTARTS from
+    // its checkpoint — the source offset log makes it process ONLY the new
+    // file: the appended sink rows are exactly q3's (q1/q2 rows would
+    // duplicate in the file sink if the restart reprocessed them)
+    val before = spark.read.parquet(sinkDir).count()
+    assert(before > 0)
     val q3 = Seq(graft.data.Clip("q3", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd"))
     q3.toDS().write.mode("append").parquet(dir)
-    val q2run = StreamingDedup.retrievalAgainstCorpus(stream, corpus, rcfg, 5)
-      .writeStream.outputMode(OutputMode.Append()).format("memory")
-      .queryName("retrieval_sink2").start()
-    q2run.processAllAvailable()
-    q2run.stop()
-    val second = spark.sql("select * from retrieval_sink2")
-      .as[graft.dedup.RetrievalRow].collect()
-    assert(second.exists(r => r.query_id == "q3" && r.s_id == "1" && r.score == 1.0),
-      s"appended micro-batch query missing: ${second.take(8).mkString(",")}")
-    assert(before > 0)
+    runLeg()
+    val after = spark.read.parquet(sinkDir).as[graft.dedup.RetrievalRow].collect()
+    val appended = after.filter(_.query_id == "q3")
+    assert(after.length == before + appended.length && appended.nonEmpty,
+      s"restart reprocessed old batches: ${after.length} rows vs $before + ${appended.length}")
+    assert(appended.exists(r => r.s_id == "1" && r.score == 1.0),
+      s"q3's perfect match missing: ${appended.take(8).mkString(",")}")
   }
 }

@@ -73,8 +73,30 @@ class VectorExprSpec extends AnyFunSuite {
     val b = Literal.create(Array(4f, 5f, 6f), ArrayType(FloatType))
     assert(VectorExprs.DotProductF(a, b).eval(null) == (4.0 + 10.0 + 18.0))
     assert(VectorExprs.L2NormF(a).eval(null) == math.sqrt(1.0 + 4.0 + 9.0))
-    // common-prefix semantics for unequal lengths (matches zip_with)
+    // unequal lengths → NULL, matching zip_with's null-padding (it does NOT
+    // truncate): a malformed vector must fall out of a top-k, never enter
+    // it as a silent partial sum
     val short = Literal.create(Array(2f), ArrayType(FloatType))
-    assert(VectorExprs.DotProductF(a, short).eval(null) == 2.0)
+    assert(VectorExprs.DotProductF(a, short).eval(null) == null)
+  }
+
+  test("null elements and length mismatches yield NULL, exactly like the SQL forms") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array[java.lang.Float](1f, 2f), Array[java.lang.Float](3f, 4f)),     // clean
+      (2L, Array[java.lang.Float](1f, null), Array[java.lang.Float](3f, 4f)),   // null element
+      (3L, Array[java.lang.Float](1f, 2f, 3f), Array[java.lang.Float](3f, 4f))) // length mismatch
+      .toDF("id", "a", "b")
+      .selectExpr("id", "cast(a as array<float>) as a", "cast(b as array<float>) as b")
+    val got = df.select(col("id"),
+      VectorExprs.dotF(col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), " +
+        "cast(0 as double), (acc, v) -> acc + v)").as("sql"),
+      VectorExprs.l2normF(col("a")).as("nrm"))
+      .collect().map(r => (r.getLong(0), r)).toMap
+    assert(got(1).getDouble(1) == 11.0 && got(1).getDouble(2) == 11.0)
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2), "null element: native/sql must both be NULL")
+    assert(got(3).isNullAt(1) && got(3).isNullAt(2), "length mismatch: native/sql must both be NULL")
+    assert(got(2).isNullAt(3), "null element: l2 norm must be NULL")
   }
 }
