@@ -154,5 +154,12 @@ class CandidateJoinPropertySpec extends AnyFunSuite {
         spark.sparkContext.longAccumulator)
       .collect().map(cp => (cp.p, cp.c)).toSet
     assert(auto == bcast)
+    // forced-low gram cap: the valve fires, is COUNTED, and only ever drops
+    // pairs (subset of the uncapped truth — never inventions)
+    val acc = spark.sparkContext.longAccumulator
+    val capped = CandidateStage.tinyChannelJoin(toks, cfg.copy(shingleDfCap = 1), acc)
+      .collect().map(cp => (cp.p, cp.c)).toSet
+    assert(acc.value > 0, "gram cap=1 never triggered — tiny valve dead")
+    assert((capped -- bcast).isEmpty, s"capped run invented pairs: ${(capped -- bcast).take(5)}")
   }
 }
