@@ -124,6 +124,34 @@ class FuzzyRetrievalSpec extends AnyFunSuite {
       s"contrastive order: ${got.map(_.s_id).mkString(",")}")
   }
 
+  test("retrieval output invariants on random corpora: ranks contiguous, scores ordered and above threshold") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4242)
+    val sents = (0 until 120).map { i =>
+      val len = 3 + rng.nextInt(10)
+      (f"r_$i%04d", Array.fill(len)(s"w${rng.nextInt(9)}").mkString(" "))
+    }
+    val corpus = sents.map { case (id, t) =>
+      Clip(id, Array.emptyByteArray, 16000, 0, "pcm_s16le", t) }.toDS()
+    val queries = corpus.filter(c => c.clip_id.stripPrefix("r_").toInt % 3 == 0)
+    val thr = 0.6f
+    val got = FuzzyRetrieval.topk(queries, corpus, DedupConfig(threshold = thr), 4)
+      .collect().groupBy(_.query_id)
+    assert(got.nonEmpty)
+    got.foreach { case (qid, rows0) =>
+      val rows = rows0.sortBy(_.rank)
+      assert(rows.map(_.rank).toSeq == (1 to rows.length), s"$qid ranks")
+      assert(rows.length <= 4, s"$qid over the top-k limit")
+      assert(rows.forall(_.score >= thr - 1e-9), s"$qid below-threshold row")
+      assert(rows.sliding(2).forall {
+        case Array(a, b) => a.score >= b.score
+        case _ => true
+      }, s"$qid scores not descending: ${rows.map(_.score).mkString(",")}")
+      // a query present in the corpus always has its perfect self-match
+      assert(rows.exists(r => r.s_id == qid && r.score == 1.0), s"$qid self match missing")
+    }
+  }
+
   test("subsequence retrieval through Spark: containment match + detokenized surface") {
     import spark.implicits._
     val queries = clips(Seq("zz aa bb cc dd zz"), _ => "q").toDS()
