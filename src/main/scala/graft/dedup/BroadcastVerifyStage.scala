@@ -45,15 +45,8 @@ object BroadcastVerifyStage {
         // per-word document frequency (A3 sfreq) for the IDF penalty vector
         val df = scala.collection.mutable.LongMap.empty[Int]
         val seen = new java.util.HashSet[java.lang.Long]()
-        // id-uniqueness contract, enforced at index build like the cogroup
-        // path's salted-group guard — duplicate ids must fail loudly on
-        // EVERY verify strategy, not score one row silently
-        val ids = new java.util.HashSet[String](rows.length * 2)
         var i = 0
         while (i < rows.length) {
-          if (!ids.add(rows(i).clip_id))
-            throw new IllegalStateException(
-              s"duplicate clip_id '${rows(i).clip_id}' in the corpus — clip ids must be unique")
           index.add(rows(i).ids)
           docs(i) = Doc(rows(i).ids, rows(i).reals, rows(i).itoks)
           if (needDf) {
@@ -76,6 +69,20 @@ object BroadcastVerifyStage {
     import spark.implicits._
 
     val corpus = toks.collect()
+    // DEDUP id-uniqueness contract, enforced once on the driver before
+    // broadcasting (cluster identity IS the clip_id — a duplicate would
+    // silently merge two rows' identities). The cogroup strategy enforces
+    // the same contract in its salted groups, so both dedup paths fail
+    // loudly on identical input. Deliberately NOT enforced for retrieval
+    // (FuzzyRetrieval shares the index builder below): the reference TM
+    // tolerates duplicate external ids — both rows are indexed and both can
+    // match.
+    val ids = new java.util.HashSet[String](corpus.length * 2)
+    corpus.foreach { r =>
+      if (!ids.add(r.clip_id))
+        throw new IllegalStateException(
+          s"duplicate clip_id '${r.clip_id}' in the corpus — clip ids must be unique")
+    }
     val bc = spark.sparkContext.broadcast(corpus)
     val bcId = bc.id
 

@@ -77,13 +77,6 @@ object CandidateStage {
     t
   }
 
-  /** Shared bucket→pairs kernel for channels A and B: drop (and count)
-    * buckets with df > cap, then equi-self-join the cold entries on the
-    * bucket hash, orienting each pair (shorter side = pattern) and applying
-    * the P5 window (`b.n ≤ a.mx`) inside the join condition. The hot-bucket
-    * side is aggregated first (map-side partial agg) and is tiny relative to
-    * the corpus — it is counted on the driver into the metric accumulators,
-    * so capping is never silent, and broadcast into the anti-join when small. */
   /** THE hot-bucket valve, shared by every bucketed channel (self-join,
     * cross-table, tiny-gram): an eager, cheap metrics pre-pass off the raw
     * `entries` — a map-side partial agg shuffling only (sh, partial-count)
@@ -120,6 +113,11 @@ object CandidateStage {
     parted.join(hotKeys, Seq("sh"), "left_anti")
   }
 
+  /** Shared bucket→pairs kernel for channels A and B (and the simhash
+    * query): [[dropHotBuckets]] valve, then an equi-SELF-join of the cold
+    * entries on the bucket hash, orienting each pair (shorter side =
+    * pattern) and applying the P5 window (`b.n ≤ a.mx`) inside the join
+    * condition — whole-stage codegen end to end, AQE-skew-splittable. */
   def bucketJoinPairs(
       entries: Dataset[BucketEntry],
       cap: Int,

@@ -181,11 +181,11 @@ object FuzzyRetrieval {
           if (!graft.data.TableIO.exists(spark, path))
             graft.data.TableIO.write(compute.toDF(), path)
           else
-            // same discipline as the pipeline's restoredStages tracking: a
-            // restored stage's channel accumulators never ran — say so
-            // rather than letting their zeros read as "nothing was capped"
-            System.err.println(
-              s"[retrieval] restored checkpoint '$name' — stage accumulators did not run")
+            // same discipline as the pipeline's restoredStages tracking;
+            // only the candidates stage owns capping accumulators, so only
+            // its restore carries the zeros-are-not-real-metrics caveat
+            System.err.println(s"[retrieval] restored checkpoint '$name' — not recomputed" +
+              (if (name == "retrieval_candidates") "; capping accumulators did not run" else ""))
           read(graft.data.TableIO.read(spark, path))
         case None => compute
       }

@@ -152,6 +152,21 @@ class FuzzyRetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate corpus ids are tolerated in retrieval (reference TM semantics)") {
+    import spark.implicits._
+    // the reference indexes whatever ids the TM carries — two rows under the
+    // same external id both get indexed and both can match. Only the DEDUP
+    // pipeline (where clip_id IS the cluster identity) rejects duplicates.
+    val corpus = Seq(
+      Clip("x", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd"),
+      Clip("x", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc ee"),
+      Clip("y", Array.emptyByteArray, 16000, 0, "pcm_s16le", "zz yy xx ww")).toDS()
+    val queries = clips(Seq("aa bb cc dd"), _ => "q").toDS()
+    val got = FuzzyRetrieval.topk(queries, corpus, cfg(0.7f), 0).collect()
+    // both x rows matched: the perfect one at 1.0 and the variant at 0.75
+    assert(got.count(_.s_id == "x") == 2, s"got ${got.mkString(",")}")
+  }
+
   test("subsequence retrieval through Spark: containment match + detokenized surface") {
     import spark.implicits._
     val queries = clips(Seq("zz aa bb cc dd zz"), _ => "q").toDS()
