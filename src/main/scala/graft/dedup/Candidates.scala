@@ -77,20 +77,25 @@ object CandidateStage {
     t
   }
 
+  /** Largest hot-key set worth collecting + broadcasting (1M longs ≈ tens of
+    * MB as a HashedRelation); beyond it the anti-join shuffles. */
+  private[dedup] val hotKeyBroadcastBound = 1000000
+
   /** THE hot-bucket valve, shared by every bucketed channel (self-join,
-    * cross-table, tiny-gram): an eager, cheap metrics pre-pass off the raw
-    * `entries` — a map-side partial agg shuffling only (sh, partial-count)
-    * pairs, deliberately NOT the full exchange below (shuffle files are not
-    * reused across separate actions, so an eager action through `parted`
-    * would pay the whole entries exchange twice — measured 6× slower on the
-    * candidates stage at 120k clips) — then ONE repartitioned exchange with
-    * the hot keys anti-joined away, reused WITHIN the main job by the
-    * df-aggregate, the anti-join probe and the downstream join sides
-    * (identical canonical subtree → ReusedExchange). The hot-key set is
-    * broadcast only while genuinely small (1M keys ≈ tens of MB as a
-    * HashedRelation); beyond that the anti-join shuffles and AQE may still
-    * pick a broadcast from runtime stats. Input must carry an `sh` bucket
-    * column; output is the cold entries ON the exchange. */
+    * cross-table, tiny-gram): ONE eager stats job off the raw `entries` — a
+    * map-side partial agg shuffling only (sh, partial-count) pairs,
+    * deliberately NOT the full exchange below (shuffle files are not reused
+    * across separate actions, so an eager action through `parted` would pay
+    * the whole entries exchange twice — measured 6× slower on the candidates
+    * stage at 120k clips). The job returns the hot KEYS themselves (with
+    * their dfs), so metrics are counted locally AND the anti-join probe is a
+    * broadcast local relation — the main job runs no second aggregation at
+    * all. Above [[hotKeyBroadcastBound]] keys (pathological corpus) it falls
+    * back to recomputing the hot set on the repartitioned exchange, reused
+    * WITHIN the main job by the df-aggregate, the anti-join probe and the
+    * downstream join sides (identical canonical subtree → ReusedExchange).
+    * Input must carry an `sh` bucket column; output is the cold entries ON
+    * the exchange. */
   private[dedup] def dropHotBuckets(
       entries: org.apache.spark.sql.DataFrame,
       cap: Int,
@@ -98,19 +103,37 @@ object CandidateStage {
       cappedPairsLost: Option[LongAccumulator]): org.apache.spark.sql.DataFrame = {
     val spark = entries.sparkSession
     import spark.implicits._
-    val stats = entries.groupBy("sh").agg(count(lit(1)).as("df"))
+    val hotArr = entries.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter($"df" > cap)
-      .agg(count(lit(1)).as("buckets"),
-        coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L)).as("pairs")).head()
-    val hotBuckets = stats.getLong(0)
-    cappedBuckets.add(hotBuckets)
-    cappedPairsLost.foreach(_.add(stats.getLong(1)))
+      .limit(hotKeyBroadcastBound + 1)
+      .collect()
 
     val parted = entries.repartition(col("sh"))
-    val counts = parted.groupBy("sh").agg(count(lit(1)).as("df"))
-    val hot0 = counts.filter($"df" > cap).select("sh")
-    val hotKeys = if (hotBuckets <= 1000000L) broadcast(hot0) else hot0
-    parted.join(hotKeys, Seq("sh"), "left_anti")
+    if (hotArr.length <= hotKeyBroadcastBound) {
+      cappedBuckets.add(hotArr.length)
+      cappedPairsLost.foreach { acc =>
+        var pairs = 0L
+        hotArr.foreach { r => val df = r.getLong(1); pairs += df * (df - 1) / 2 }
+        acc.add(pairs)
+      }
+      if (hotArr.isEmpty) parted
+      else {
+        val hotKeys = hotArr.map(_.getLong(0)).toSeq.toDF("sh")
+        parted.join(broadcast(hotKeys), Seq("sh"), "left_anti")
+      }
+    } else {
+      // beyond the broadcast bound: exact metrics need a second (partial-agg)
+      // pass; the anti-join probe recomputes on the parted exchange (reused)
+      val stats = entries.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter($"df" > cap)
+        .agg(count(lit(1)).as("buckets"),
+          coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L)).as("pairs")).head()
+      cappedBuckets.add(stats.getLong(0))
+      cappedPairsLost.foreach(_.add(stats.getLong(1)))
+      val hot0 = parted.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter($"df" > cap).select("sh")
+      parted.join(hot0, Seq("sh"), "left_anti")
+    }
   }
 
   /** Shared bucket→pairs kernel for channels A and B (and the simhash

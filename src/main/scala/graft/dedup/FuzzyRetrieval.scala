@@ -233,17 +233,21 @@ object FuzzyRetrieval {
     // materialize the scored edges once, then release the upstream caches —
     // repeated retrieval calls in one session must not pin dead token/
     // candidate copies in executor storage (only the small scored edge set
-    // stays cached for the two ranking branches below)
+    // stays cached for the two ranking branches below). cToks is released
+    // per BRANCH: the contrastive rerank joins the corpus tokens once more,
+    // so its unpersist must wait until that join has materialized —
+    // unpersisting here would re-run the whole corpus TokenizeStage for the
+    // rerank (the r3 verdict's measured recompute).
     val scored = checkpointed("retrieval_scored",
       VerifyStage.scoreGroups(patternKeyed, candToks, params, idfMax))(_.as[Edge])
       .persist()
     scored.count()
     qToks.unpersist()
-    cToks.unpersist()
     candToksSrc.unpersist()
 
     val ranked =
       if (contrastiveFactor <= 0f) {
+        cToks.unpersist()
         val w = Window.partitionBy(col("a")).orderBy(col("score").desc, col("b").asc)
         val top = scored.toDF()
           .withColumn("rank", row_number().over(w))
@@ -270,9 +274,16 @@ object FuzzyRetrieval {
           contrastReduce = contrastReduce,
           contrastBuffer = contrastBuffer)
         val buffer = if (contrastBuffer == -1) numberOfMatches else contrastBuffer
-        scored
+        // materialize the (edge, corpus ids) join while cToks is still
+        // cached, THEN release it: the joined set is as small as `scored`
+        // (above-threshold matches only) and is what the rerank groups over
+        val withIds = scored
           .joinWith(cToks, scored("b") === cToks("clip_id"))
           .map { case (e, t) => (e.a, e.b, e.score, e.lcs, t.ids) }
+          .persist()
+        withIds.count()
+        cToks.unpersist()
+        withIds
           .groupByKey(_._1)
           .flatMapGroups { (qid, it) =>
             val all = it.toArray.sortBy(m => (-m._4, m._2))

