@@ -47,14 +47,14 @@ final case class SubseqRow(
   */
 object FuzzyRetrieval {
 
-  /** Tokenize + collect the corpus for the broadcast-index path, enforcing
+  /** Collect the tokenized corpus for the broadcast-index path, enforcing
     * BOTH envelope gates of the pipeline's own broadcast decision
     * (DedupPipeline rows + estimated bytes) with an actionable error
     * pointing at the beyond-memory path. The row count is pre-checked with
     * a cheap count() BEFORE collecting (a too-large corpus must not OOM the
     * driver just to produce the error message). */
-  private def collectGuarded(corpus: Dataset[Clip], cfg: DedupConfig): Array[TokRow] = {
-    val toks = TokenizeStage(corpus, cfg).persist()
+  private def collectGuarded(corpusToks: Dataset[TokRow], cfg: DedupConfig): Array[TokRow] = {
+    val toks = corpusToks.persist()
     try {
       val n = toks.count()
       require(n <= cfg.broadcastMaxRows,
@@ -83,12 +83,27 @@ object FuzzyRetrieval {
       noPerfect: Boolean = false,
       contrastiveFactor: Float = 0f,
       contrastReduce: Matcher.ContrastReduce = Matcher.Mean,
+      contrastBuffer: Int = -1): Dataset[RetrievalRow] =
+    // index side: tokenize with the reference's insert-side filters (P2/P3)
+    topkIndexed(queries, TokenizeStage(corpus, cfg), cfg, numberOfMatches, noPerfect,
+      contrastiveFactor, contrastReduce, contrastBuffer)
+
+  /** [[topk]] against a PREBUILT tokenized index (from [[loadIndex]] or any
+    * TokRow dataset) — repeated match jobs skip the corpus TokenizeStage,
+    * the reference's index/match job split. */
+  def topkIndexed(
+      queries: Dataset[Clip],
+      corpusToks: Dataset[TokRow],
+      cfg: DedupConfig,
+      numberOfMatches: Int = 5,
+      noPerfect: Boolean = false,
+      contrastiveFactor: Float = 0f,
+      contrastReduce: Matcher.ContrastReduce = Matcher.Mean,
       contrastBuffer: Int = -1): Dataset[RetrievalRow] = {
     val spark = queries.sparkSession
     import spark.implicits._
 
-    // index side: tokenize with the reference's insert-side filters (P2/P3)
-    val corpusRows = collectGuarded(corpus, cfg)
+    val corpusRows = collectGuarded(corpusToks, cfg)
     val bc = spark.sparkContext.broadcast(corpusRows)
     val bcId = bc.id
 
@@ -167,6 +182,21 @@ object FuzzyRetrieval {
       contrastiveFactor: Float = 0f,
       contrastReduce: Matcher.ContrastReduce = Matcher.Mean,
       contrastBuffer: Int = -1,
+      checkpointDir: Option[String] = None): Dataset[RetrievalRow] =
+    topkShuffleIndexed(queries, TokenizeStage(corpus, cfg), cfg, numberOfMatches,
+      noPerfect, contrastiveFactor, contrastReduce, contrastBuffer, checkpointDir)
+
+  /** [[topkShuffle]] against a PREBUILT tokenized index — see
+    * [[topkIndexed]]. */
+  def topkShuffleIndexed(
+      queries: Dataset[Clip],
+      corpusToks: Dataset[TokRow],
+      cfg: DedupConfig,
+      numberOfMatches: Int = 5,
+      noPerfect: Boolean = false,
+      contrastiveFactor: Float = 0f,
+      contrastReduce: Matcher.ContrastReduce = Matcher.Mean,
+      contrastBuffer: Int = -1,
       checkpointDir: Option[String] = None): Dataset[RetrievalRow] = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -191,7 +221,7 @@ object FuzzyRetrieval {
       }
 
     val qToks = TokenizeStage(queries, cfg).persist()
-    val cToks = TokenizeStage(corpus, cfg).persist()
+    val cToks = corpusToks.persist()
     lazy val qSigs = SignatureStage(qToks, cfg)
     lazy val cSigs = SignatureStage(cToks, cfg)
     val sc = spark.sparkContext
@@ -328,11 +358,23 @@ object FuzzyRetrieval {
       cfg: DedupConfig,
       numberOfMatches: Int = 5,
       noPerfect: Boolean = false,
+      idfWeighting: Boolean = false): Dataset[SubseqRow] =
+    subsequenceIndexed(queries, TokenizeStage(corpus, cfg), cfg, numberOfMatches,
+      noPerfect, idfWeighting)
+
+  /** [[subsequence]] against a PREBUILT tokenized index — see
+    * [[topkIndexed]]. */
+  def subsequenceIndexed(
+      queries: Dataset[Clip],
+      corpusToks: Dataset[TokRow],
+      cfg: DedupConfig,
+      numberOfMatches: Int = 5,
+      noPerfect: Boolean = false,
       idfWeighting: Boolean = false): Dataset[SubseqRow] = {
     val spark = queries.sparkSession
     import spark.implicits._
 
-    val corpusRows = collectGuarded(corpus, cfg)
+    val corpusRows = collectGuarded(corpusToks, cfg)
     val bc = spark.sparkContext.broadcast(corpusRows)
     val bcId = bc.id
     val pt = cfg.pt
@@ -363,5 +405,62 @@ object FuzzyRetrieval {
         }
       }
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted distributed retrieval index — the reference's index/match job
+  // split (`-a index` writes CORPUS.fmi once, many `-a match` runs load it;
+  // /root/reference/src/fuzzy_matcher_binarization.cc:16-51). The index IS
+  // the tokenized corpus as an engine checkpoint table (TableIO — Iceberg in
+  // production, parquet here) plus a meta JSON pinning the
+  // tokenizer-relevant config: the reference requires index and match
+  // configs to agree (README.md:18), enforced loudly at load.
+  // ------------------------------------------------------------------
+
+  private val indexMetaVersion = 1
+
+  /** Tokenize the corpus once and persist it as a retrieval index at `dir`
+    * (`dir/toks` table + `dir/index_meta.json`). */
+  def saveIndex(corpus: Dataset[Clip], cfg: DedupConfig, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    graft.data.TableIO.write(TokenizeStage(corpus, cfg).toDF(), s"$dir/toks")
+    val meta = s"""{"version":$indexMetaVersion,"pt":${cfg.pt},""" +
+      s""""maxTokensInPattern":${cfg.maxTokensInPattern}}"""
+    val p = new org.apache.hadoop.fs.Path(dir, "index_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a prebuilt retrieval index, failing loudly when `dir` holds no
+    * index or was indexed under a different tokenizer config than `cfg`
+    * (silently matching against an index tokenized differently is the
+    * reference's documented foot-gun, README.md:18). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cfg: DedupConfig): Dataset[TokRow] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir, "index_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no retrieval index at $dir (index_meta.json missing) — build one with " +
+        "FuzzyRetrieval.saveIndex / MatchCli action=index")
+    val in = fs.open(p)
+    val meta =
+      try scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8).mkString
+      finally in.close()
+    def field(name: String): Long =
+      s""""$name":(-?\\d+)""".r.findFirstMatchIn(meta) match {
+        case Some(m) => m.group(1).toLong
+        case None => sys.error(s"malformed index meta at $dir: missing '$name' in $meta")
+      }
+    require(field("version") == indexMetaVersion,
+      s"index at $dir has meta version ${field("version")}, this engine reads $indexMetaVersion")
+    require(field("pt") == cfg.pt && field("maxTokensInPattern") == cfg.maxTokensInPattern,
+      s"index at $dir was built with pt=${field("pt")} maxTokensInPattern=" +
+        s"${field("maxTokensInPattern")} but the match config has pt=${cfg.pt} " +
+        s"maxTokensInPattern=${cfg.maxTokensInPattern} — index and match configs " +
+        "must be identical (reference README.md:18)")
+    graft.data.TableIO.read(spark, s"$dir/toks").as[TokRow]
   }
 }

@@ -10,20 +10,25 @@ import graft.dedup.{DedupConfig, DedupPipeline, FuzzyRetrieval}
   *
   * Usage:
   *   MatchCli <corpus> <queries> <outDir|-> [threshold=0.8] [nmatch=5]
-  *            [noPerfect=false] [strategy=broadcast|shuffle] [action=match|subseq]
+  *            [noPerfect=false] [strategy=broadcast|shuffle] [action=match|subseq|index]
   *
   * `corpus` / `queries`: a clip parquet path (input_hint schema), a text
   * file (`.txt`/`.gz`, one sentence per line — ids are 1-based line numbers,
-  * the CLI's S1 convention), or `synth:N`. `outDir` `-` prints the first
-  * rows instead of writing. Emits the reference's `NMATCH nonempty/total`
-  * counter line (FuzzyMatch-cli.cc:452-458). `action=subseq` runs the
-  * best-subsequence retrieval (`-a subseq`, broadcast index only) and emits
-  * one row per query with the detokenized matched span.
+  * the CLI's S1 convention), or `synth:N`; `corpus` may also be
+  * `index:<dir>` — a PREBUILT retrieval index written by `action=index`
+  * (the reference's `-a index` → `-i CORPUS.fmi` job split,
+  * FuzzyMatch-cli.cc:435-443/417-420): match jobs then skip the corpus
+  * TokenizeStage entirely. `outDir` `-` prints the first rows instead of
+  * writing. Emits the reference's `NMATCH nonempty/total` counter line
+  * (FuzzyMatch-cli.cc:452-458). `action=subseq` runs the best-subsequence
+  * retrieval (`-a subseq`, broadcast index only) and emits one row per
+  * query with the detokenized matched span. `action=index` tokenizes
+  * `corpus` and writes the index to `outDir` (queries arg ignored, pass `-`).
   */
 object MatchCli {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: MatchCli <corpus> <queries> <outDir|-> " +
-      "[threshold] [nmatch] [noPerfect] [broadcast|shuffle] [match|subseq]")
+    require(args.length >= 3, "usage: MatchCli <corpus|index:DIR> <queries> <outDir|-> " +
+      "[threshold] [nmatch] [noPerfect] [broadcast|shuffle] [match|subseq|index]")
     val Array(corpusArg, queriesArg, outDir) = args.take(3)
     val threshold = if (args.length > 3) args(3).toFloat else 0.8f
     val nmatch = if (args.length > 4) args(4).toInt else 5
@@ -37,21 +42,36 @@ object MatchCli {
     import spark.implicits._
 
     val cfg = DedupConfig(threshold = threshold)
-    val corpus = load(spark, corpusArg)
+
+    if (action == "index") {
+      require(outDir != "-", "action=index writes the index to <outDir>")
+      FuzzyRetrieval.saveIndex(load(spark, corpusArg), cfg, outDir)
+      val n = graft.data.TableIO.read(spark, s"$outDir/toks").count()
+      println(s"INDEXED $n rows -> $outDir")
+      spark.stop()
+      return
+    }
+
+    val corpusToks =
+      if (corpusArg.startsWith("index:")) {
+        val dir = corpusArg.stripPrefix("index:")
+        println(s"[match] using prebuilt index $dir — corpus TokenizeStage skipped")
+        FuzzyRetrieval.loadIndex(spark, dir, cfg)
+      } else graft.dedup.TokenizeStage(load(spark, corpusArg), cfg)
     val queries = load(spark, queriesArg)
     val nQueries = queries.count()
 
     val (results, rankCol) = (action, strategy) match {
       case ("match", "shuffle") =>
-        (FuzzyRetrieval.topkShuffle(queries, corpus, cfg, nmatch, noPerfect).toDF(), "rank")
+        (FuzzyRetrieval.topkShuffleIndexed(queries, corpusToks, cfg, nmatch, noPerfect).toDF(), "rank")
       case ("match", "broadcast") =>
-        (FuzzyRetrieval.topk(queries, corpus, cfg, nmatch, noPerfect).toDF(), "rank")
+        (FuzzyRetrieval.topkIndexed(queries, corpusToks, cfg, nmatch, noPerfect).toDF(), "rank")
       case ("subseq", "broadcast") =>
-        (FuzzyRetrieval.subsequence(queries, corpus, cfg, nmatch, noPerfect).toDF(), "s_id")
+        (FuzzyRetrieval.subsequenceIndexed(queries, corpusToks, cfg, nmatch, noPerfect).toDF(), "s_id")
       case ("subseq", other) =>
         sys.error(s"action subseq supports only the broadcast strategy (got '$other')")
       case (a, s) =>
-        sys.error(s"unknown action/strategy '$a'/'$s' (use match|subseq, broadcast|shuffle)")
+        sys.error(s"unknown action/strategy '$a'/'$s' (use match|subseq|index, broadcast|shuffle)")
     }
 
     val persisted = results.persist()

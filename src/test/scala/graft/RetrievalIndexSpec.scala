@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.data.{Clip, TableIO}
+import graft.dedup.{DedupConfig, FuzzyRetrieval}
+import graft.text.PT
+
+/** The persisted distributed retrieval index (the reference's `-a index` →
+  * `-i CORPUS.fmi` job split, /root/reference/src/fuzzy_matcher_binarization.cc:16-51):
+  * one saveIndex run must serve later match jobs WITHOUT re-tokenizing — or
+  * even touching — the raw corpus, on both retrieval strategies, and a
+  * config mismatch between index and match sides must fail loudly
+  * (reference README.md:18's identical-config requirement). */
+class RetrievalIndexSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("retrieval-index-spec")
+    .getOrCreate()
+
+  private val sents = Seq(
+    "aa bb cc dd", "aa bb bb aa cc dd", "aa ｟it｠ bb cc dd", "aa bb 13 dd",
+    "aa bb cc ee", "aa bb cc dd.", "aa bb cc dd .", ".")
+
+  private def cfg = DedupConfig(threshold = 0.5f, minSubseqLength = 2,
+    minSubseqRatio = 0f, shingleK = 2)
+
+  private def rows(ds: org.apache.spark.sql.Dataset[graft.dedup.RetrievalRow]) =
+    ds.collect().map(r => (r.query_id, r.rank, r.s_id, r.score, r.max_subseq)).toSet
+
+  test("index round-trip: match from the saved index, corpus deleted, results identical") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("retr-idx").toString
+    val corpusPath = s"$tmp/corpus"
+    val idxDir = s"$tmp/index"
+
+    val clips = sents.zipWithIndex.map { case (s, i) =>
+      Clip((i + 1).toString, Array.emptyByteArray, 16000, 0, "pcm_s16le", s)
+    }
+    TableIO.write(clips.toDS().toDF(), corpusPath)
+    val corpus = TableIO.readClips(spark, corpusPath)
+    val queries = Seq(Clip("q", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd")).toDS()
+
+    // direct-path results, materialized BEFORE the corpus is deleted
+    val direct = rows(FuzzyRetrieval.topk(queries, corpus, cfg, 5))
+    val directShuffle = rows(FuzzyRetrieval.topkShuffle(queries, corpus, cfg, 5))
+    assert(direct.nonEmpty, "direct path empty — vacuous round-trip")
+
+    FuzzyRetrieval.saveIndex(corpus, cfg, idxDir)
+
+    // delete the raw corpus: the indexed path can no longer tokenize it —
+    // identical results prove the index alone serves the match job
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    deleteRec(new java.io.File(corpusPath))
+    assert(!new java.io.File(corpusPath).exists())
+
+    val loaded = FuzzyRetrieval.loadIndex(spark, idxDir, cfg)
+    assert(rows(FuzzyRetrieval.topkIndexed(queries, loaded, cfg, 5)) == direct,
+      "broadcast path diverged from the prebuilt index")
+    assert(rows(FuzzyRetrieval.topkShuffleIndexed(queries, loaded, cfg, 5)) == directShuffle,
+      "shuffle path diverged from the prebuilt index")
+  }
+
+  test("loadIndex rejects a mismatched tokenizer config loudly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("retr-idx-cfg").toString
+    val clips = Seq(Clip("1", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb")).toDS()
+    FuzzyRetrieval.saveIndex(clips, cfg, tmp)
+    val e = intercept[IllegalArgumentException] {
+      FuzzyRetrieval.loadIndex(spark, tmp, cfg.copy(pt = PT.none))
+    }
+    assert(e.getMessage.contains("identical"), e.getMessage)
+    // threshold is NOT tokenizer-relevant: a different threshold must load
+    FuzzyRetrieval.loadIndex(spark, tmp, cfg.copy(threshold = 0.9f))
+  }
+
+  test("loadIndex on a missing dir names the fix") {
+    val e = intercept[IllegalArgumentException] {
+      FuzzyRetrieval.loadIndex(spark, "/tmp/does-not-exist-gfm-idx", cfg)
+    }
+    assert(e.getMessage.contains("saveIndex"), e.getMessage)
+  }
+}
