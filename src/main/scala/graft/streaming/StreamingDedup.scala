@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.data.Clip
-import graft.dedup.{DedupConfig, SigRow, TokRow}
-import graft.kernel.Hashing
+import graft.dedup.{DedupConfig, Edge, SigRow, TokRow, TokenizeStage}
+import graft.kernel.{Hashing, Matcher}
 import graft.text.Tokenizer
 
 /** Streaming facets of the dedup engine (Structured Streaming).
@@ -96,6 +96,142 @@ object StreamingDedup {
       .withWatermark("ts", "2 minutes")
       .groupBy(window(col("ts"), "1 minute"), col("codec"))
       .agg(count(lit(1)).as("n_clips"), sum(length(col("transcript"))).as("chars"))
+
+  /** Stream-static near-dup EDGE stream — the candidates channel
+    * ([[candidatesAgainstCorpus]]) COMPLETED with in-stream verification:
+    * arriving clips' MinHash band buckets probe the corpus band index (the
+    * same LSH candidate semantics as the stream-static band join, hot
+    * buckets capped at `bandDfCap` and counted), the P5 length window
+    * prunes, and each surviving candidate set is verified by the reference
+    * matcher kernel over a per-row suffix-array index (the VerifyStage
+    * group kernel with a group per arriving row). Stateless and
+    * shuffle-free per micro-batch — the corpus index is ONE broadcast
+    * shared by every batch (append mode, no watermark), so the unbounded
+    * axis is the stream, exactly the [[retrievalAgainstCorpus]] envelope;
+    * a beyond-broadcast corpus takes the batch
+    * [[graft.dedup.FuzzyRetrieval.topkShuffle]] path instead.
+    * Emits [[graft.dedup.Edge]] rows with a = stream clip, b = corpus clip
+    * (self-id pairs excluded, as in the candidates channel). Works on both
+    * streaming and batch Datasets (narrow ops only), so stream-vs-batch
+    * equality is testable on the same code path against the full-index
+    * broadcast matcher. */
+  def edgesAgainstCorpus(
+      streamClips: Dataset[Clip],
+      corpus: Dataset[Clip],
+      cfg: DedupConfig,
+      cappedBuckets: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Edge] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // static side, built once on the driver: tokenized corpus + band index
+    val corpusToks = TokenizeStage(corpus, cfg).persist()
+    val n = corpusToks.count()
+    require(n <= cfg.broadcastMaxRows,
+      s"corpus has $n indexable rows > broadcastMaxRows ${cfg.broadcastMaxRows}: " +
+        "stream-static edge verification needs a broadcastable corpus — " +
+        "run the batch FuzzyRetrieval.topkShuffle path instead")
+    val rows = corpusToks.collect()
+    corpusToks.unpersist()
+    val k = cfg.shingleK
+    val perms = cfg.minhashPerms
+    val bands = cfg.minhashBands
+    val seed = cfg.seed
+    val bandDfCap = cfg.bandDfCap
+    val bandMap = new java.util.HashMap[Long, Array[Int]](rows.length * 2)
+    var capped = 0L
+    locally {
+      val builder = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+      var i = 0
+      while (i < rows.length) {
+        val sig = Hashing.minhash(Hashing.distinctShingles(rows(i).ids, k), perms, seed)
+        val bh = Hashing.bandHashes(sig, bands)
+        var bd = 0
+        while (bd < bh.length) {
+          val key = Hashing.mix64(bh(bd) ^ (bd * 0x9e3779b97f4a7c15L))
+          var buf = builder.get(key)
+          if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Int]; builder.put(key, buf) }
+          buf += i
+          bd += 1
+        }
+        i += 1
+      }
+      // hot-bucket valve, same discipline as every bucketed channel: a band
+      // bucket above bandDfCap is dropped AND counted, never a linear scan
+      // of the corpus per arriving clip
+      builder.forEach { (key, buf) =>
+        if (buf.length > bandDfCap) capped += 1
+        else bandMap.put(key, buf.toArray)
+      }
+    }
+    cappedBuckets.foreach(_.add(capped))
+    val bcRows = spark.sparkContext.broadcast(rows)
+    val bcBands = spark.sparkContext.broadcast(bandMap)
+
+    val params = Matcher.Params(
+      fuzzy = cfg.threshold,
+      numberOfMatches = 0,
+      noPerfect = false,
+      minSubseqLength = cfg.minSubseqLength,
+      minSubseqRatio = cfg.minSubseqRatio,
+      vocabIdfPenalty = 0f, // idf needs corpus-side df vectors; edges are non-idf
+      editCosts = cfg.editCosts,
+      maxTokensInPattern = cfg.maxTokensInPattern)
+    val pt = cfg.pt
+    val fuzzy = cfg.threshold
+    val ec = cfg.editCosts
+    val maxTok = cfg.maxTokensInPattern
+
+    streamClips.mapPartitions { it =>
+      val corpusRows = bcRows.value
+      val bandIdx = bcBands.value
+      it.flatMap { c =>
+        val ts = Tokenizer.tokenize(c.transcript, pt)
+        if (ts.norm.isEmpty || ts.norm.length > maxTok) Iterator.empty
+        else {
+          val pids = Hashing.tokenIds(ts.norm)
+          val pn = pids.length
+          val sig = Hashing.minhash(Hashing.distinctShingles(pids, k), perms, seed)
+          val bh = Hashing.bandHashes(sig, bands)
+          val cand = new java.util.LinkedHashSet[Integer]()
+          var bd = 0
+          while (bd < bh.length) {
+            val hit = bandIdx.get(Hashing.mix64(bh(bd) ^ (bd * 0x9e3779b97f4a7c15L)))
+            if (hit != null) { var j = 0; while (j < hit.length) { cand.add(hit(j)); j += 1 } }
+            bd += 1
+          }
+          if (cand.isEmpty) Iterator.empty
+          else {
+            // P5 window (pattern = the arriving clip) + self-id exclusion,
+            // then the reference kernel over a per-row candidate index
+            val kept = new scala.collection.mutable.ArrayBuffer[Int](cand.size)
+            cand.forEach { i =>
+              val r = corpusRows(i)
+              if (r.clip_id != c.clip_id &&
+                  !graft.kernel.SuffixIndex.theoreticalRejection(pn, r.n_tokens, ec, fuzzy))
+                kept += i
+            }
+            if (kept.isEmpty) Iterator.empty
+            else {
+              val index = new graft.kernel.SuffixIndex
+              val docs = new Array[graft.kernel.Doc](kept.length)
+              var i = 0
+              while (i < kept.length) {
+                val r = corpusRows(kept(i))
+                index.add(r.ids)
+                docs(i) = graft.kernel.Doc(r.ids, r.reals, r.itoks)
+                i += 1
+              }
+              val pattern = graft.kernel.Doc(pids, ts.real, ts.itoks)
+              Matcher.matchPattern(index, docs(_), pattern, params).iterator.map { m =>
+                val kind = if (m.maxSubseq >= pn) "substring" else "edit"
+                Edge(c.clip_id, corpusRows(kept(m.sIdx)).clip_id, m.score, m.maxSubseq, kind)
+              }
+            }
+          }
+        }
+      }
+    }
+  }
 
   /** Streaming top-k fuzzy retrieval: arriving query clips matched against
     * a STATIC indexed corpus — the reference's stdin match loop

@@ -86,6 +86,67 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(df.columns.toSet == Set("window", "codec", "n_clips", "chars"))
   }
 
+  test("stream-static near-dup EDGES: candidates + in-stream verify == batch == full-index matcher") {
+    import spark.implicits._
+    def clip(id: String, text: String) =
+      graft.data.Clip(id, Array.emptyByteArray, 16000, 0, "pcm_s16le", text)
+    // 20-token transcripts: one-token edits keep shingle Jaccard ≈ 0.86, so
+    // the minhash band channel surfaces every true pair deterministically
+    // (fixed seed) and the edge set equals the full-index matcher's
+    val words = (0 until 20).map(i => s"w$i")
+    val other = (0 until 20).map(i => s"u$i")
+    val corpus = Seq(
+      clip("c1", words.mkString(" ")),
+      clip("c2", (words.dropRight(1) :+ "xx").mkString(" ")),
+      clip("c3", other.mkString(" "))).toDS()
+    val batch1 = Seq(
+      clip("s1", words.mkString(" ")), // exact dup of c1, near-dup of c2
+      clip("s2", (0 until 20).map(i => s"v$i").mkString(" "))) // no match
+    val batch2 = Seq(clip("s3", (other.dropRight(1) :+ "zz").mkString(" "))) // near-dup c3
+    val ecfg = DedupConfig(threshold = 0.8f)
+
+    val inDir = java.nio.file.Files.createTempDirectory("stream-edges-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-edges-ckpt").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("stream-edges-sink").toString + "/out"
+    batch1.toDS().write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(StreamingDedup.clipSchema).parquet(inDir)
+      .as[graft.data.Clip]
+    def runLeg(): Unit = {
+      val q = StreamingDedup.edgesAgainstCorpus(stream, corpus, ecfg)
+        .writeStream.outputMode(OutputMode.Append()).format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runLeg() // micro-batch 1
+    batch2.toDS().write.mode("append").parquet(inDir)
+    runLeg() // micro-batch 2 (restart from checkpoint, processes only the new file)
+
+    val streamed = spark.read.parquet(sinkDir).as[graft.dedup.Edge].collect()
+      .map(e => (e.a, e.b, e.score, e.lcs, e.kind)).toSet
+
+    // (a) incremental == batch: the operator on the full input in one go
+    val batchEdges = StreamingDedup.edgesAgainstCorpus(
+        (batch1 ++ batch2).toDS(), corpus, ecfg)
+      .collect().map(e => (e.a, e.b, e.score, e.lcs, e.kind)).toSet
+    assert(streamed == batchEdges, s"stream=$streamed batch=$batchEdges")
+
+    // (b) semantics == the reference full-index broadcast matcher's
+    // above-threshold decisions (band recall is 1 on this fixture)
+    val fullIndex = graft.dedup.FuzzyRetrieval.topk(
+        (batch1 ++ batch2).toDS(), corpus, ecfg, numberOfMatches = 0)
+      .collect().map(r => (r.query_id, r.s_id, r.score)).toSet
+    assert(streamed.map(e => (e._1, e._2, e._3)) == fullIndex,
+      s"stream=${streamed.map(e => (e._1, e._2, e._3))} fullIndex=$fullIndex")
+    // the planted pairs, concretely
+    assert(streamed.exists(e => e._1 == "s1" && e._2 == "c1" && e._3 == 1.0))
+    assert(streamed.exists(e => e._1 == "s1" && e._2 == "c2"))
+    assert(streamed.exists(e => e._1 == "s3" && e._2 == "c3"))
+    assert(!streamed.exists(_._1 == "s2"))
+  }
+
   test("streaming top-k retrieval against a static corpus matches the batch path") {
     import spark.implicits._
     val tm1 = Seq("aa bb cc dd", "aa bb bb aa cc dd", "aa ｟it｠ bb cc dd",
