@@ -169,6 +169,28 @@ final class FuzzyMatcher(pt: Int = PT.default, maxTokensInPattern: Int = 300) {
     pairs.toSet
   }
 
+  /** Index introspection — the reference's debug `-a dump` surface
+    * (/root/reference/cli/src/FuzzyMatch-cli.cc:461-465) as a summary
+    * report: structural stats plus the `topN` highest-document-frequency
+    * vocab entries (the sfreq table is what the dump inspects in practice —
+    * hot words are the LSH capping candidates). */
+  def dumpInfo(topN: Int = 10): String = {
+    val lens = docsBuf.map(_.ids.length)
+    val suffixes = lens.map(_.toLong).sum
+    val maxLen = if (lens.isEmpty) 0 else lens.max
+    val avgLen = if (lens.isEmpty) 0.0 else suffixes.toDouble / lens.length
+    val top = vocab.dump.zipWithIndex
+      .collect { case ((form, sf), id) if id >= 2 && form.nonEmpty => (form, sf) }
+      .sortBy { case (form, sf) => (-sf, form) }
+      .take(topN)
+    val sb = new StringBuilder
+    sb ++= s"pt=$pt maxTokensInPattern=$maxTokensInPattern\n"
+    sb ++= f"sentences=${docsBuf.length} vocab=${vocab.size} suffixes=$suffixes " +
+      f"max_len=$maxLen avg_len=$avgLen%.2f\n"
+    top.foreach { case (form, sf) => sb ++= s"SFREQ $sf\t$form\n" }
+    sb.result()
+  }
+
   /** Serialize the matcher to a binary file (vocab + sentences + external
     * ids) — the S2/S3 analog of the reference's FMI export/import
     * (/root/reference/src/fuzzy_matcher_binarization.cc:16-51). The suffix
