@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.data.Clip
-import graft.dedup.{DedupConfig, Edge, SigRow, TokRow, TokenizeStage}
+import graft.dedup.{DedupConfig, Edge, SignatureStage, SigRow, TokRow, TokenizeStage}
 import graft.kernel.{Hashing, Matcher}
 import graft.text.Tokenizer
 
@@ -123,7 +123,9 @@ object StreamingDedup {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    // static side, built once on the driver: tokenized corpus + band index
+    // static side, built once: tokenize + signatures run DISTRIBUTED
+    // (SignatureStage, the batch stage-1 kernel); only the collected results
+    // land on the driver, where the band inverted index is assembled
     val corpusToks = TokenizeStage(corpus, cfg).persist()
     val n = corpusToks.count()
     require(n <= cfg.broadcastMaxRows,
@@ -131,6 +133,7 @@ object StreamingDedup {
         "stream-static edge verification needs a broadcastable corpus — " +
         "run the batch FuzzyRetrieval.topkShuffle path instead")
     val rows = corpusToks.collect()
+    val sigRows = SignatureStage(corpusToks, cfg).collect()
     corpusToks.unpersist()
     val k = cfg.shingleK
     val perms = cfg.minhashPerms
@@ -140,20 +143,19 @@ object StreamingDedup {
     val bandMap = new java.util.HashMap[Long, Array[Int]](rows.length * 2)
     var capped = 0L
     locally {
+      val idxOf = new java.util.HashMap[String, Integer](rows.length * 2)
+      rows.indices.foreach(i => idxOf.put(rows(i).clip_id, i))
       val builder = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
-      var i = 0
-      while (i < rows.length) {
-        val sig = Hashing.minhash(Hashing.distinctShingles(rows(i).ids, k), perms, seed)
-        val bh = Hashing.bandHashes(sig, bands)
+      sigRows.foreach { s =>
+        val i = idxOf.get(s.clip_id)
         var bd = 0
-        while (bd < bh.length) {
-          val key = Hashing.mix64(bh(bd) ^ (bd * 0x9e3779b97f4a7c15L))
+        while (bd < s.band_hashes.length) {
+          val key = Hashing.mix64(s.band_hashes(bd) ^ (bd * 0x9e3779b97f4a7c15L))
           var buf = builder.get(key)
           if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Int]; builder.put(key, buf) }
           buf += i
           bd += 1
         }
-        i += 1
       }
       // hot-bucket valve, same discipline as every bucketed channel: a band
       // bucket above bandDfCap is dropped AND counted, never a linear scan
