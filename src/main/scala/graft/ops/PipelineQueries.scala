@@ -142,6 +142,12 @@ object PipelineQueries {
     // (deterministic PRNG stream), so no driver-side head() job and no
     // broadcast is needed to learn the embedding dim. Ids are zero-padded so
     // the kernel's lexicographic orientation matches numeric order.
+    // Persisted: the hot-bucket valve's stats job and the main bucket join
+    // both read the entries, and the sketch pass (bands×bits hyperplane
+    // dots per row) is the expensive part — unlike the dedup channels'
+    // cheap hash entries, recomputing it for the second read would double
+    // the dominant map work. The cached set is (long, string, int, int) —
+    // a sliver of the embeddings themselves.
     val entries = e.mapPartitions { it =>
       var ps: Array[Array[Double]] = null
       it.flatMap { case (id, emb) =>
@@ -164,7 +170,7 @@ object PipelineQueries {
           CandidateStage.BucketEntry((band.toLong << 32) | sketch, f"$id%019d", 1, Int.MaxValue)
         }
       }
-    }
+    }.persist()
     val pairs = CandidateStage.bucketJoinPairs(entries, bucketCap, cappedBuckets, None)
       .toDF("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
