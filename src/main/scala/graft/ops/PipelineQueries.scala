@@ -68,9 +68,9 @@ object PipelineQueries {
     // per doc — NOT the 128-perm minhash pipeline (nothing here needs it).
     // Persisted: the plan reads this set three times (bucket entries + both
     // pair sides), and without the cache each read re-runs the full
-    // tokenize scan. The cached set is just (id, long) — near-free — and
-    // Spark's CacheManager dedups by canonical plan, so repeated
-    // invocations in one session share one entry instead of stacking.
+    // tokenize scan. The cached set is just (id, long) — near-free; each
+    // invocation pins one (typed plans don't canonicalize across calls),
+    // bounded by invocations per session.
     val sigs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
       .map { case (id, text) =>
@@ -147,7 +147,8 @@ object PipelineQueries {
     // dots per row) is the expensive part — unlike the dedup channels'
     // cheap hash entries, recomputing it for the second read would double
     // the dominant map work. The cached set is (long, string, int, int) —
-    // a sliver of the embeddings themselves.
+    // the same order as the embedding column and disk-spillable; one
+    // pinned copy per invocation, bounded by invocations per session.
     val entries = e.mapPartitions { it =>
       var ps: Array[Array[Double]] = null
       it.flatMap { case (id, emb) =>
