@@ -54,7 +54,11 @@ object FuzzyRetrieval {
     * a cheap count() BEFORE collecting (a too-large corpus must not OOM the
     * driver just to produce the error message). */
   private def collectGuarded(corpusToks: Dataset[TokRow], cfg: DedupConfig): Array[TokRow] = {
-    val toks = corpusToks.persist()
+    // a caller-cached index (loadIndex(...).cache() serving many match jobs)
+    // must stay cached — Spark unpersist is not refcounted, so only a cache
+    // WE created here may be released in the finally
+    val callerCached = corpusToks.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val toks = if (callerCached) corpusToks else corpusToks.persist()
     try {
       val n = toks.count()
       require(n <= cfg.broadcastMaxRows,
@@ -65,7 +69,7 @@ object FuzzyRetrieval {
         s"corpus estimated at $estBytes tokenized bytes > broadcastMaxBytes " +
           s"${cfg.broadcastMaxBytes}: use FuzzyRetrieval.topkShuffle (the beyond-memory path)")
       toks.collect()
-    } finally toks.unpersist()
+    } finally if (!callerCached) toks.unpersist()
   }
 
   /** Top-k fuzzy match of every query row against the corpus.
@@ -221,7 +225,12 @@ object FuzzyRetrieval {
       }
 
     val qToks = TokenizeStage(queries, cfg).persist()
-    val cToks = corpusToks.persist()
+    // as in collectGuarded: never evict a cache the caller owns (a cached
+    // prebuilt index serving many match jobs)
+    val cTokCallerCached =
+      corpusToks.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cToks = if (cTokCallerCached) corpusToks else corpusToks.persist()
+    def releaseCToks(): Unit = if (!cTokCallerCached) cToks.unpersist()
     lazy val qSigs = SignatureStage(qToks, cfg)
     lazy val cSigs = SignatureStage(cToks, cfg)
     val sc = spark.sparkContext
@@ -277,7 +286,7 @@ object FuzzyRetrieval {
 
     val ranked =
       if (contrastiveFactor <= 0f) {
-        cToks.unpersist()
+        releaseCToks()
         val w = Window.partitionBy(col("a")).orderBy(col("score").desc, col("b").asc)
         val top = scored.toDF()
           .withColumn("rank", row_number().over(w))
@@ -312,7 +321,7 @@ object FuzzyRetrieval {
           .map { case (e, t) => (e.a, e.b, e.score, e.lcs, t.ids) }
           .persist()
         withIds.count()
-        cToks.unpersist()
+        releaseCToks()
         withIds
           .groupByKey(_._1)
           .flatMapGroups { (qid, it) =>
@@ -419,28 +428,16 @@ object FuzzyRetrieval {
 
   private val indexMetaVersion = 1
 
-  /** Tokenize the corpus once and persist it as a retrieval index at `dir`
-    * (`dir/toks` table + `dir/index_meta.json`). */
-  def saveIndex(corpus: Dataset[Clip], cfg: DedupConfig, dir: String): Unit = {
-    val spark = corpus.sparkSession
-    graft.data.TableIO.write(TokenizeStage(corpus, cfg).toDF(), s"$dir/toks")
-    val meta = s"""{"version":$indexMetaVersion,"pt":${cfg.pt},""" +
-      s""""maxTokensInPattern":${cfg.maxTokensInPattern}}"""
-    val p = new org.apache.hadoop.fs.Path(dir, "index_meta.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  /** Parsed `index_meta.json`. */
+  final case class IndexMeta(version: Int, pt: Int, maxTokensInPattern: Int)
 
-  /** Load a prebuilt retrieval index, failing loudly when `dir` holds no
-    * index or was indexed under a different tokenizer config than `cfg`
-    * (silently matching against an index tokenized differently is the
-    * reference's documented foot-gun, README.md:18). */
-  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      cfg: DedupConfig): Dataset[TokRow] = {
-    import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(dir, "index_meta.json")
+  private def metaPathOf(dir: String) = new org.apache.hadoop.fs.Path(dir, "index_meta.json")
+
+  /** Read + parse an index's meta file (shared by [[loadIndex]] and the
+    * DumpCli introspection tool — ONE copy of the parsing contract). */
+  private[graft] def readIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, dir: String): IndexMeta = {
+    val p = metaPathOf(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
       s"no retrieval index at $dir (index_meta.json missing) — build one with " +
@@ -449,18 +446,52 @@ object FuzzyRetrieval {
     val meta =
       try scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8).mkString
       finally in.close()
-    def field(name: String): Long =
+    def field(name: String): Int =
       s""""$name":(-?\\d+)""".r.findFirstMatchIn(meta) match {
-        case Some(m) => m.group(1).toLong
+        case Some(m) => m.group(1).toInt
         case None => sys.error(s"malformed index meta at $dir: missing '$name' in $meta")
       }
-    require(field("version") == indexMetaVersion,
-      s"index at $dir has meta version ${field("version")}, this engine reads $indexMetaVersion")
-    require(field("pt") == cfg.pt && field("maxTokensInPattern") == cfg.maxTokensInPattern,
-      s"index at $dir was built with pt=${field("pt")} maxTokensInPattern=" +
-        s"${field("maxTokensInPattern")} but the match config has pt=${cfg.pt} " +
+    IndexMeta(field("version"), field("pt"), field("maxTokensInPattern"))
+  }
+
+  /** Tokenize the corpus once and persist it as a retrieval index at `dir`
+    * (`dir/toks` table + `dir/index_meta.json`). Crash-safe ordering: the
+    * meta file is the COMMIT MARKER — any stale copy is deleted before the
+    * table write and the new one is written only after the table commits,
+    * so a job killed mid-write leaves a dir that [[loadIndex]] rejects
+    * rather than a stale meta over partial part-files. */
+  def saveIndex(corpus: Dataset[Clip], cfg: DedupConfig, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val p = metaPathOf(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+    graft.data.TableIO.write(TokenizeStage(corpus, cfg).toDF(), s"$dir/toks")
+    val meta = s"""{"version":$indexMetaVersion,"pt":${cfg.pt},""" +
+      s""""maxTokensInPattern":${cfg.maxTokensInPattern}}"""
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a prebuilt retrieval index, failing loudly when `dir` holds no
+    * index, an UNCOMMITTED index (killed mid-write), or one indexed under a
+    * different tokenizer config than `cfg` (silently matching against an
+    * index tokenized differently is the reference's documented foot-gun,
+    * README.md:18). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cfg: DedupConfig): Dataset[TokRow] = {
+    import spark.implicits._
+    val m = readIndexMeta(spark, dir)
+    require(m.version == indexMetaVersion,
+      s"index at $dir has meta version ${m.version}, this engine reads $indexMetaVersion")
+    require(m.pt == cfg.pt && m.maxTokensInPattern == cfg.maxTokensInPattern,
+      s"index at $dir was built with pt=${m.pt} maxTokensInPattern=" +
+        s"${m.maxTokensInPattern} but the match config has pt=${cfg.pt} " +
         s"maxTokensInPattern=${cfg.maxTokensInPattern} — index and match configs " +
         "must be identical (reference README.md:18)")
+    require(graft.data.TableIO.exists(spark, s"$dir/toks"),
+      s"index at $dir has a meta file but no COMMITTED toks table — the index " +
+        "write did not complete; rebuild with saveIndex / MatchCli action=index")
     graft.data.TableIO.read(spark, s"$dir/toks").as[TokRow]
   }
 }

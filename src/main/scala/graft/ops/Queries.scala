@@ -229,7 +229,13 @@ object Queries {
           parted.join(broadcast(hot), Seq("lang", "sh"), "left_anti")
         }
       } else {
-        cappedShingles.add(hotArr.length) // lower bound; > hotBound hot keys
+        // beyond the broadcast bound (pathological): pay a second partial-agg
+        // pass for the EXACT capped count — the never-silent discipline's
+        // metric must not be a truncated lower bound — and recompute the hot
+        // set on the exchange for a shuffled anti-join
+        cappedShingles.add(
+          d.groupBy("lang", "sh").agg(count(lit(1)).as("df"))
+            .filter(col("df") > cap).count())
         val hot = parted.groupBy("lang", "sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("lang", "sh")
         parted.join(hot, Seq("lang", "sh"), "left_anti")

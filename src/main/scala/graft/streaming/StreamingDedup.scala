@@ -132,6 +132,11 @@ object StreamingDedup {
       s"corpus has $n indexable rows > broadcastMaxRows ${cfg.broadcastMaxRows}: " +
         "stream-static edge verification needs a broadcastable corpus — " +
         "run the batch FuzzyRetrieval.topkShuffle path instead")
+    val estBytes = graft.dedup.DedupPipeline.estimateTokBytes(corpusToks, n)
+    require(estBytes <= cfg.broadcastMaxBytes,
+      s"corpus estimated at $estBytes tokenized bytes > broadcastMaxBytes " +
+        s"${cfg.broadcastMaxBytes}: stream-static edge verification needs a " +
+        "broadcastable corpus — run the batch FuzzyRetrieval.topkShuffle path instead")
     val rows = corpusToks.collect()
     val sigRows = SignatureStage(corpusToks, cfg).collect()
     corpusToks.unpersist()
@@ -166,8 +171,25 @@ object StreamingDedup {
       }
     }
     cappedBuckets.foreach(_.add(capped))
+    // idf penalty (A4): per-word corpus doc frequencies, computed once from
+    // the collected rows and broadcast — pattern-side idf vectors are then
+    // per-arriving-clip lookups, exactly FuzzyRetrieval.topk's semantics
+    val useIdf = cfg.vocabIdfPenalty != 0f
+    val dfMap: scala.collection.mutable.LongMap[Int] =
+      if (!useIdf) scala.collection.mutable.LongMap.empty[Int]
+      else {
+        val m = scala.collection.mutable.LongMap.empty[Int]
+        val seen = new java.util.HashSet[java.lang.Long]()
+        rows.foreach { r =>
+          seen.clear()
+          r.ids.foreach(id => if (seen.add(id)) m(id) = m.getOrElse(id, 0) + 1)
+        }
+        m
+      }
+    val idfMax = if (useIdf) math.log(rows.length.toDouble).toFloat else 0.01f
     val bcRows = spark.sparkContext.broadcast(rows)
     val bcBands = spark.sparkContext.broadcast(bandMap)
+    val bcDf = spark.sparkContext.broadcast(dfMap)
 
     val params = Matcher.Params(
       fuzzy = cfg.threshold,
@@ -175,13 +197,14 @@ object StreamingDedup {
       noPerfect = false,
       minSubseqLength = cfg.minSubseqLength,
       minSubseqRatio = cfg.minSubseqRatio,
-      vocabIdfPenalty = 0f, // idf needs corpus-side df vectors; edges are non-idf
+      vocabIdfPenalty = cfg.vocabIdfPenalty,
       editCosts = cfg.editCosts,
       maxTokensInPattern = cfg.maxTokensInPattern)
     val pt = cfg.pt
     val fuzzy = cfg.threshold
     val ec = cfg.editCosts
     val maxTok = cfg.maxTokensInPattern
+    val nCorpus = rows.length
 
     streamClips.mapPartitions { it =>
       val corpusRows = bcRows.value
@@ -224,7 +247,14 @@ object StreamingDedup {
                 i += 1
               }
               val pattern = graft.kernel.Doc(pids, ts.real, ts.itoks)
-              Matcher.matchPattern(index, docs(_), pattern, params).iterator.map { m =>
+              // corpus-unknown pattern words carry 0 idf, the reference's
+              // unknown-word default (fuzzy_match.cc:367-390)
+              val idf =
+                if (useIdf) pids.map { id =>
+                  val d = bcDf.value.getOrElse(id, 0)
+                  if (d > 0) math.log((nCorpus.toFloat / d.toFloat).toDouble).toFloat else 0f
+                } else null
+              Matcher.matchPattern(index, docs(_), pattern, params, idf, idfMax).iterator.map { m =>
                 val kind = if (m.maxSubseq >= pn) "substring" else "edit"
                 Edge(c.clip_id, corpusRows(kept(m.sIdx)).clip_id, m.score, m.maxSubseq, kind)
               }

@@ -36,23 +36,17 @@ object DumpCli {
       import org.apache.spark.sql.functions._
       // loadIndex validates the meta header; dump must accept ANY config the
       // index was built with, so read the pinned config out of the meta
-      // first and echo it back
-      val metaPath = new org.apache.hadoop.fs.Path(path, "index_meta.json")
-      val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(fs.exists(metaPath),
-        s"$path is neither a GFM file nor a distributed index dir (no index_meta.json)")
-      val in = fs.open(metaPath)
-      val meta =
-        try scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8).mkString
-        finally in.close()
-      def field(name: String): Int =
-        s""""$name":(-?\\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt)
-          .getOrElse(sys.error(s"malformed meta: $meta"))
+      // (ONE parsing contract — FuzzyRetrieval.readIndexMeta) and echo it
+      val m = FuzzyRetrieval.readIndexMeta(spark, path)
       val toks = FuzzyRetrieval.loadIndex(spark, path,
-        DedupConfig(pt = field("pt"), maxTokensInPattern = field("maxTokensInPattern")))
+        DedupConfig(pt = m.pt, maxTokensInPattern = m.maxTokensInPattern))
+      // coalesce: sum/max/avg over ZERO rows are null — an empty index (all
+      // transcripts filtered by P2/P3) must dump sentences=0, not crash
       val stats = toks.toDF()
-        .agg(count(lit(1)).as("sentences"), sum("n_tokens").as("suffixes"),
-          max("n_tokens").as("max_len"), avg("n_tokens").as("avg_len"),
+        .agg(count(lit(1)).as("sentences"),
+          coalesce(sum("n_tokens"), lit(0L)).as("suffixes"),
+          coalesce(max("n_tokens"), lit(0)).as("max_len"),
+          coalesce(avg("n_tokens"), lit(0.0)).as("avg_len"),
           approx_count_distinct(col("ids")).as("approx_distinct_rows"))
         .head()
       // doc-frequency top-N over the hash-encoded token ids, reported with a
@@ -67,7 +61,7 @@ object DumpCli {
         .orderBy(col("sfreq").desc, col("form").asc)
         .limit(topN).collect()
       println(s"GRAFT DISTRIBUTED INDEX $path")
-      println(s"meta $meta")
+      println(s"meta version=${m.version} pt=${m.pt} maxTokensInPattern=${m.maxTokensInPattern}")
       println(s"sentences=${stats.getLong(0)} suffixes=${stats.getLong(1)} " +
         f"max_len=${stats.getInt(2)} avg_len=${stats.getDouble(3)}%.2f " +
         s"approx_distinct_rows=${stats.getLong(4)}")

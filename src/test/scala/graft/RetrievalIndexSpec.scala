@@ -86,4 +86,37 @@ class RetrievalIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("saveIndex"), e.getMessage)
   }
+
+  test("loadIndex rejects an UNCOMMITTED index (meta present, toks table not committed)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("retr-idx-part").toString
+    val clips = Seq(Clip("1", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb")).toDS()
+    FuzzyRetrieval.saveIndex(clips, cfg, tmp)
+    // simulate a job killed mid-write: the table dir exists but its commit
+    // marker does not
+    assert(new java.io.File(s"$tmp/toks/_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException] {
+      FuzzyRetrieval.loadIndex(spark, tmp, cfg)
+    }
+    assert(e.getMessage.contains("COMMITTED"), e.getMessage)
+  }
+
+  test("a caller-cached index survives a match job (no unpersist of caller state)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("retr-idx-cache").toString
+    val clips = sents.zipWithIndex.map { case (s, i) =>
+      Clip((i + 1).toString, Array.emptyByteArray, 16000, 0, "pcm_s16le", s)
+    }
+    FuzzyRetrieval.saveIndex(clips.toDS(), cfg, tmp)
+    val idx = FuzzyRetrieval.loadIndex(spark, tmp, cfg).persist()
+    idx.count()
+    val queries = Seq(Clip("q", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd")).toDS()
+    assert(FuzzyRetrieval.topkIndexed(queries, idx, cfg, 5).collect().nonEmpty)
+    assert(idx.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "broadcast-path match job evicted the caller's index cache")
+    assert(FuzzyRetrieval.topkShuffleIndexed(queries, idx, cfg, 5).collect().nonEmpty)
+    assert(idx.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "shuffle-path match job evicted the caller's index cache")
+    idx.unpersist()
+  }
 }

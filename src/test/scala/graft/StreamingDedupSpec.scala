@@ -93,15 +93,15 @@ class StreamingDedupSpec extends AnyFunSuite {
     // 20-token transcripts: one-token edits keep shingle Jaccard ≈ 0.86, so
     // the minhash band channel surfaces every true pair deterministically
     // (fixed seed) and the edge set equals the full-index matcher's
-    val words = (0 until 20).map(i => s"w$i")
-    val other = (0 until 20).map(i => s"u$i")
+    val words = (0 until 20).map(i => "w" + ("abcdefghijklmnopqrst" * 2)(i).toString * 3)
+    val other = (0 until 20).map(i => "u" + ("abcdefghijklmnopqrst" * 2)(i).toString * 3)
     val corpus = Seq(
       clip("c1", words.mkString(" ")),
       clip("c2", (words.dropRight(1) :+ "xx").mkString(" ")),
       clip("c3", other.mkString(" "))).toDS()
     val batch1 = Seq(
       clip("s1", words.mkString(" ")), // exact dup of c1, near-dup of c2
-      clip("s2", (0 until 20).map(i => s"v$i").mkString(" "))) // no match
+      clip("s2", (0 until 20).map(i => "v" + ("abcdefghijklmnopqrst" * 2)(i).toString * 3).mkString(" "))) // no match
     val batch2 = Seq(clip("s3", (other.dropRight(1) :+ "zz").mkString(" "))) // near-dup c3
     val ecfg = DedupConfig(threshold = 0.8f)
 
@@ -145,6 +145,35 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(streamed.exists(e => e._1 == "s1" && e._2 == "c2"))
     assert(streamed.exists(e => e._1 == "s3" && e._2 == "c3"))
     assert(!streamed.exists(_._1 == "s2"))
+  }
+
+  test("near-dup edges honor the idf config (== full-index matcher with idf)") {
+    import spark.implicits._
+    def clip(id: String, text: String) =
+      graft.data.Clip(id, Array.emptyByteArray, 16000, 0, "pcm_s16le", text)
+    val words = (0 until 20).map(i => "w" + ("abcdefghijklmnopqrst" * 2)(i).toString * 3)
+    val other = (0 until 20).map(i => "u" + ("abcdefghijklmnopqrst" * 2)(i).toString * 3)
+    val corpus = Seq(
+      clip("c1", words.mkString(" ")),
+      clip("c2", (words.dropRight(1) :+ "xx").mkString(" ")),
+      clip("c3", other.mkString(" "))).toDS()
+    // probe = c1's words PLUS two extra corpus-known words (from c3): the
+    // extra pattern words are unmatched against c1/c2, so their deletion
+    // cost carries the idf weight (the penalty acts on pattern-side
+    // insertions/deletions, not equal-length substitutions)
+    val probes = Seq(clip("s1", (words ++ other.take(2)).mkString(" ")))
+    val icfg = DedupConfig(threshold = 0.7f, vocabIdfPenalty = 1f)
+    val got = StreamingDedup.edgesAgainstCorpus(probes.toDS(), corpus, icfg)
+      .collect().map(e => (e.a, e.b, e.score)).toSet
+    val want = graft.dedup.FuzzyRetrieval.topk(probes.toDS(), corpus, icfg, numberOfMatches = 0)
+      .collect().map(r => (r.query_id, r.s_id, r.score)).toSet
+    assert(got == want && got.nonEmpty, s"edges=$got fullIndex=$want")
+    // idf actually changed the scores vs the non-idf config (non-vacuous)
+    val plain = StreamingDedup.edgesAgainstCorpus(probes.toDS(), corpus,
+        icfg.copy(vocabIdfPenalty = 0f))
+      .collect().map(e => (e.a, e.b, e.score)).toSet
+    assert(plain.map(t => (t._1, t._2)) == got.map(t => (t._1, t._2)))
+    assert(plain != got, "idf penalty had no effect on edge scores — config ignored?")
   }
 
   test("streaming top-k retrieval against a static corpus matches the batch path") {
