@@ -65,6 +65,10 @@ class RetrievalIndexSpec extends AnyFunSuite {
       "broadcast path diverged from the prebuilt index")
     assert(rows(FuzzyRetrieval.topkShuffleIndexed(queries, loaded, cfg, 5)) == directShuffle,
       "shuffle path diverged from the prebuilt index")
+    // subsequence retrieval serves from the index too
+    val sub = FuzzyRetrieval.subsequenceIndexed(queries, loaded, cfg, 5)
+      .collect().map(r => (r.query_id, r.s_id, r.score)).toSet
+    assert(sub.nonEmpty, "subsequence-from-index returned nothing")
   }
 
   test("loadIndex rejects a mismatched tokenizer config loudly") {
