@@ -32,7 +32,12 @@ object ScalingBench {
     // low-parallelism run fewer, cheaper tasks and corrupt the ratio.
     val cfg = DedupConfig(strategy = sys.env.getOrElse("SPARK_GRAFT_STRATEGY", "shuffle"),
       shufflePartitions = 64,
-      verifySalts = sys.env.getOrElse("SPARK_GRAFT_SALTS", "1").toInt)
+      verifySalts = sys.env.getOrElse("SPARK_GRAFT_SALTS", "1").toInt,
+      // cap knobs for candidate-hump experiments (BASELINE.md round-4):
+      // lower caps trade bucket-join wall for counted drops recovered by
+      // the band channel
+      shingleDfCap = sys.env.getOrElse("SPARK_GRAFT_SHINGLE_CAP", "64").toInt,
+      bandDfCap = sys.env.getOrElse("SPARK_GRAFT_BAND_CAP", "256").toInt)
 
     // warm JIT/codegen with a small throwaway run
     DedupPipeline.run(SynthCorpus.generate(spark, 800, partitions = 8), cfg)
