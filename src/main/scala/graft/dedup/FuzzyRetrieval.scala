@@ -416,6 +416,55 @@ object FuzzyRetrieval {
     }
   }
 
+  /** Decontamination — the training-data hygiene operator built directly on
+    * the broadcast retrieval path: drop every corpus row whose transcript
+    * fuzzy-matches ANY row of the (small) eval/benchmark table at
+    * `cfg.threshold`, so benchmark material never leaks into training data.
+    * The broadcast index is the EVAL SET (typically thousands of rows — far
+    * under the envelope), the corpus is the unbounded probe side: 10^12
+    * rows stream through partition-parallel with zero shuffle, exactly the
+    * [[topk]] scale shape with the roles picked for the decontamination
+    * workload. Containment leaks (an eval sentence embedded inside a longer
+    * training document) are caught when `alsoContained` is on via the
+    * subsequence matcher (J4 semantics) against the same index. Returns
+    * (clean corpus, flagged contaminated rows). */
+  def decontaminate(
+      corpus: Dataset[Clip],
+      evalSet: Dataset[Clip],
+      cfg: DedupConfig,
+      alsoContained: Boolean = false): (Dataset[Clip], Dataset[Clip]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val evalToks = TokenizeStage(evalSet, cfg).persist()
+    val direct = topkIndexed(corpus, evalToks, cfg, numberOfMatches = 1)
+      .select("query_id")
+    val flaggedIds =
+      (if (!alsoContained) direct
+       else direct.union(
+         // eval-transcript-contained-in-corpus-row: the J4 probe returns the
+         // longest corpus-row subsequence present verbatim in the eval index
+         // (its `score` is the FULL-pattern DP — low for a long doc, by the
+         // reference's semantics — so the containment criterion is span
+         // COVERAGE: the matched span is at least the whole eval sentence)
+         subsequenceIndexed(corpus, evalToks, cfg).toDF()
+           .join(broadcast(evalToks.toDF()
+             .select(col("clip_id").as("s_id"), col("n_tokens").as("eval_n"))), "s_id")
+           .filter(col("max_subseq") >= col("eval_n"))
+           .select("query_id")))
+        .distinct()
+        .persist()
+    flaggedIds.count()
+    evalToks.unpersist()
+    val clean = corpus
+      .join(flaggedIds, corpus("clip_id") === flaggedIds("query_id"), "left_anti")
+      .as[Clip]
+    val flagged = corpus
+      .join(flaggedIds, corpus("clip_id") === flaggedIds("query_id"), "left_semi")
+      .as[Clip]
+    (clean, flagged)
+  }
+
   // ------------------------------------------------------------------
   // Persisted distributed retrieval index — the reference's index/match job
   // split (`-a index` writes CORPUS.fmi once, many `-a match` runs load it;

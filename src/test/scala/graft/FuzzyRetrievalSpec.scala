@@ -283,6 +283,38 @@ class FuzzyRetrievalSpec extends AnyFunSuite {
       s"contrastive order: ${got.map(_.s_id).mkString(",")}")
   }
 
+  test("decontamination: near-dup and contained eval rows flagged, clean+flagged partition the corpus") {
+    import spark.implicits._
+    def clip(id: String, text: String) =
+      Clip(id, Array.emptyByteArray, 16000, 0, "pcm_s16le", text)
+    val evalWords = (0 until 12).map(i => "e" + ('a' + i).toChar.toString * 3)
+    val evalSet = Seq(
+      clip("ev1", evalWords.mkString(" ")),
+      clip("ev2", "qq ww ee rr tt yy")).toDS()
+    val filler = (0 until 12).map(i => "f" + ('a' + i).toChar.toString * 3)
+    val corpus = Seq(
+      clip("t1", (evalWords.dropRight(1) :+ "zz").mkString(" ")), // near-dup of ev1
+      clip("t2", (filler.take(6) ++ Seq("qq", "ww", "ee", "rr", "tt", "yy") ++ filler.drop(6))
+        .mkString(" ")), // CONTAINS ev2 verbatim
+      clip("t3", filler.mkString(" ")),
+      clip("t4", filler.reverse.mkString(" "))).toDS()
+    val dcfg = DedupConfig(threshold = 0.8f)
+
+    val (clean1, flagged1) = FuzzyRetrieval.decontaminate(corpus, evalSet, dcfg)
+    assert(flagged1.collect().map(_.clip_id).toSet == Set("t1"),
+      "direct mode must flag exactly the near-dup (containment is a separate switch)")
+
+    val (clean2, flagged2) = FuzzyRetrieval.decontaminate(corpus, evalSet, dcfg,
+      alsoContained = true)
+    val f2 = flagged2.collect().map(_.clip_id).toSet
+    assert(f2 == Set("t1", "t2"), s"containment mode flagged $f2")
+    val c2 = clean2.collect().map(_.clip_id).toSet
+    assert(c2 == Set("t3", "t4") && (c2 ++ f2) == corpus.collect().map(_.clip_id).toSet,
+      "clean + flagged must partition the corpus")
+    // surviving rows pass through byte-identical (the per-row invariant)
+    assert(clean2.collect().forall(c => c.transcript.nonEmpty))
+  }
+
   test("shuffle path with λ>0 tokenizes the corpus ONCE (rerank join reads the cache)") {
     import spark.implicits._
     // count corpus rows flowing INTO TokenizeStage: with cToks persisted
