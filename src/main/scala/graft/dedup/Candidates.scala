@@ -79,7 +79,7 @@ object CandidateStage {
 
   /** Largest hot-key set worth collecting + broadcasting (1M longs ≈ tens of
     * MB as a HashedRelation); beyond it the anti-join shuffles. */
-  private[dedup] val hotKeyBroadcastBound = 1000000
+  private[graft] val hotKeyBroadcastBound = 1000000
 
   /** THE hot-bucket valve, shared by every bucketed channel (self-join,
     * cross-table, tiny-gram): ONE eager stats job off the raw `entries` — a
@@ -96,20 +96,21 @@ object CandidateStage {
     * downstream join sides (identical canonical subtree → ReusedExchange).
     * Input must carry an `sh` bucket column; output is the cold entries ON
     * the exchange. */
-  private[dedup] def dropHotBuckets(
+  private[graft] def dropHotBuckets(
       entries: org.apache.spark.sql.DataFrame,
       cap: Int,
       cappedBuckets: LongAccumulator,
-      cappedPairsLost: Option[LongAccumulator]): org.apache.spark.sql.DataFrame = {
+      cappedPairsLost: Option[LongAccumulator],
+      broadcastBound: Int = hotKeyBroadcastBound): org.apache.spark.sql.DataFrame = {
     val spark = entries.sparkSession
     import spark.implicits._
     val hotArr = entries.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter($"df" > cap)
-      .limit(hotKeyBroadcastBound + 1)
+      .limit(broadcastBound + 1)
       .collect()
 
     val parted = entries.repartition(col("sh"))
-    if (hotArr.length <= hotKeyBroadcastBound) {
+    if (hotArr.length <= broadcastBound) {
       cappedBuckets.add(hotArr.length)
       cappedPairsLost.foreach { acc =>
         var pairs = 0L

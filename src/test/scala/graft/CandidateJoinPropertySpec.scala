@@ -63,6 +63,34 @@ class CandidateJoinPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hot-bucket valve: shuffled fallback (bound=0) equals the broadcast path, exact metrics") {
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    val entries = (0 until 400).map { i =>
+      CandidateStage.BucketEntry((rng.nextInt(40) + 1).toLong, f"d_$i%04d", 3, 300)
+    }.toDS()
+    val cap = 8
+    def run(bound: Int): (Set[(Long, String)], Long, Long) = {
+      val buckets = spark.sparkContext.longAccumulator
+      val pairs = spark.sparkContext.longAccumulator
+      val cold = CandidateStage.dropHotBuckets(entries.toDF(), cap, buckets, Some(pairs), bound)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      (cold, buckets.value, pairs.value)
+    }
+    val (coldB, bB, pB) = run(1000000) // broadcast local-relation path
+    val (coldS, bS, pS) = run(0)       // forced shuffled fallback
+    assert(coldB == coldS, s"cold sets diverge: ${(coldB -- coldS).take(3)} / ${(coldS -- coldB).take(3)}")
+    assert(bB == bS && pB == pS, s"metrics diverge: ($bB,$pB) vs ($bS,$pS)")
+    // exact against a driver recount
+    val byBucket = entries.collect().groupBy(_.sh)
+    val wantHot = byBucket.count(_._2.length > cap)
+    val wantPairs = byBucket.values.filter(_.length > cap)
+      .map(g => g.length.toLong * (g.length - 1) / 2).sum
+    assert(bB == wantHot && pB == wantPairs, s"($bB,$pB) != ($wantHot,$wantPairs)")
+    assert(coldB == entries.collect().filter(e => byBucket(e.sh).length <= cap)
+      .map(e => (e.sh, e.id)).toSet)
+  }
+
   test("asymmetric costs: window uses both orientations in the join table") {
     import spark.implicits._
     val ec = EditCosts(insert = 2f, delete = 1f, replace = 1f)
