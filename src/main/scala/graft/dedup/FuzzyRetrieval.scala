@@ -422,12 +422,18 @@ object FuzzyRetrieval {
     * `cfg.threshold`, so benchmark material never leaks into training data.
     * The broadcast index is the EVAL SET (typically thousands of rows — far
     * under the envelope), the corpus is the unbounded probe side: 10^12
-    * rows stream through partition-parallel with zero shuffle, exactly the
-    * [[topk]] scale shape with the roles picked for the decontamination
-    * workload. Containment leaks (an eval sentence embedded inside a longer
-    * training document) are caught when `alsoContained` is on via the
-    * subsequence matcher (J4 semantics) against the same index. Returns
-    * (clean corpus, flagged contaminated rows). */
+    * rows stream through in ONE partition-parallel pass with zero shuffle —
+    * the [[topk]] scale shape with the roles picked for the decontamination
+    * workload, and both probes (fuzzy match + containment) run against the
+    * same executor-cached index so the dominant per-row tokenize/probe cost
+    * is paid once even with `alsoContained` on. Containment leaks (an eval
+    * sentence embedded verbatim inside a longer training document) use the
+    * J4 subsequence probe with a span-COVERAGE criterion — the matched span
+    * is at least the whole eval sentence; the probe's `score` is the
+    * full-pattern DP (reference semantics) and is deliberately NOT the
+    * criterion, since a long document always scores low against a short
+    * eval row. Returns (clean corpus, flagged contaminated rows), both
+    * carrying their original columns untouched. */
   def decontaminate(
       corpus: Dataset[Clip],
       evalSet: Dataset[Clip],
@@ -435,32 +441,67 @@ object FuzzyRetrieval {
       alsoContained: Boolean = false): (Dataset[Clip], Dataset[Clip]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions.{broadcast, col}
-    val evalToks = TokenizeStage(evalSet, cfg).persist()
-    val direct = topkIndexed(corpus, evalToks, cfg, numberOfMatches = 1)
-      .select("query_id")
-    val flaggedIds =
-      (if (!alsoContained) direct
-       else direct.union(
-         // eval-transcript-contained-in-corpus-row: the J4 probe returns the
-         // longest corpus-row subsequence present verbatim in the eval index
-         // (its `score` is the FULL-pattern DP — low for a long doc, by the
-         // reference's semantics — so the containment criterion is span
-         // COVERAGE: the matched span is at least the whole eval sentence)
-         subsequenceIndexed(corpus, evalToks, cfg).toDF()
-           .join(broadcast(evalToks.toDF()
-             .select(col("clip_id").as("s_id"), col("n_tokens").as("eval_n"))), "s_id")
-           .filter(col("max_subseq") >= col("eval_n"))
-           .select("query_id")))
-        .distinct()
-        .persist()
+    val evalRows = collectGuarded(TokenizeStage(evalSet, cfg), cfg)
+    val bc = spark.sparkContext.broadcast(evalRows)
+    val bcId = bc.id
+
+    val params = Matcher.Params(
+      fuzzy = cfg.threshold,
+      numberOfMatches = 1, // any hit flags the row
+      noPerfect = false,
+      minSubseqLength = cfg.minSubseqLength,
+      minSubseqRatio = cfg.minSubseqRatio,
+      vocabIdfPenalty = cfg.vocabIdfPenalty,
+      editCosts = cfg.editCosts,
+      maxTokensInPattern = cfg.maxTokensInPattern)
+    val useIdf = cfg.vocabIdfPenalty != 0f
+    val pt = cfg.pt
+    val withContained = alsoContained
+    val minSubseqLength = cfg.minSubseqLength
+    val minSubseqRatio = cfg.minSubseqRatio
+
+    val flaggedIds = corpus.mapPartitions { it =>
+      // df needed when alsoContained: the -1 idf sentinel marks eval-unknown
+      // corpus words as subsequence breakers (massive pruning — a filler
+      // word ends the span immediately)
+      val (index, docs, rows, df) =
+        BroadcastVerifyStage.indexFor(bcId, bc.value, useIdf || withContained)
+      val n = rows.length
+      val idfMax = if (useIdf) math.log(n.toDouble).toFloat else 0.01f
+      it.flatMap { c =>
+        val ts = Tokenizer.tokenize(c.transcript, pt)
+        if (ts.norm.isEmpty) Iterator.empty
+        else {
+          val pids = Hashing.tokenIds(ts.norm)
+          val pattern = Doc(pids, ts.real, ts.itoks)
+          val idf =
+            if (useIdf) pids.map { id =>
+              val d = df.getOrElse(id, 0)
+              if (d > 0) math.log((n.toFloat / d.toFloat).toDouble).toFloat else 0f
+            } else null
+          val hit =
+            Matcher.matchPattern(index, docs(_), pattern, params, idf, idfMax).nonEmpty || {
+              withContained && {
+                val subIdf = pids.map { id =>
+                  val d = df.getOrElse(id, 0)
+                  if (d > 0) math.log((n.toFloat / d.toFloat).toDouble).toFloat else -1f
+                }
+                Matcher.subsequence(index, docs(_), pattern, 5, noPerfect = false,
+                    minSubseqLength, minSubseqRatio, idfWeighting = false, subIdf)
+                  .exists { case (m, _, len) => len >= rows(m.sIdx).n_tokens }
+              }
+            }
+          if (hit) Iterator.single(c.clip_id) else Iterator.empty
+        }
+      }
+    }.toDF("flagged_id").persist()
     flaggedIds.count()
-    evalToks.unpersist()
+
     val clean = corpus
-      .join(flaggedIds, corpus("clip_id") === flaggedIds("query_id"), "left_anti")
+      .join(flaggedIds, corpus("clip_id") === flaggedIds("flagged_id"), "left_anti")
       .as[Clip]
     val flagged = corpus
-      .join(flaggedIds, corpus("clip_id") === flaggedIds("query_id"), "left_semi")
+      .join(flaggedIds, corpus("clip_id") === flaggedIds("flagged_id"), "left_semi")
       .as[Clip]
     (clean, flagged)
   }
