@@ -426,22 +426,46 @@ object FuzzyRetrieval {
     * the [[topk]] scale shape with the roles picked for the decontamination
     * workload, and both probes (fuzzy match + containment) run against the
     * same executor-cached index so the dominant per-row tokenize/probe cost
-    * is paid once even with `alsoContained` on. Containment leaks (an eval
-    * sentence embedded verbatim inside a longer training document) use the
-    * J4 subsequence probe with a span-COVERAGE criterion — the matched span
-    * is at least the whole eval sentence; the probe's `score` is the
-    * full-pattern DP (reference semantics) and is deliberately NOT the
-    * criterion, since a long document always scores low against a short
-    * eval row. Returns (clean corpus, flagged contaminated rows), both
-    * carrying their original columns untouched. */
+    * is paid once even with `alsoContained` on.
+    *
+    * Containment leaks (an eval sentence embedded verbatim inside a longer
+    * training document) use the J2 n-gram sweep
+    * ([[graft.kernel.SuffixIndex.longestMatches]]) with P5 disabled
+    * (containment is length-asymmetric by nature): eval row s is contained
+    * ⟺ the longest shared contiguous run with s covers ALL of s. This
+    * checks every eval row simultaneously in O(L·log) per document — NOT
+    * the reference `-a subseq` probe, whose single-best-result selection
+    * and length-ratio span clamp answer a different (retrieval) question
+    * and would silently under-flag long documents. Containment requires
+    * eval rows of ≥ 2 tokens (the reference registers no unigram ranges
+    * for multi-token patterns, README.md:140); a 1-token "sentence" would
+    * flag every document using that word, which is a vocabulary filter,
+    * not decontamination.
+    *
+    * Loudness guarantees of the hygiene contract: eval rows dropped by the
+    * tokenize filters (empty, or beyond `cfg.maxTokensInPattern`) FAIL the
+    * call — a silently unprotected benchmark row is the worst failure mode
+    * — and corpus rows too long for the fuzzy DP probe (reference P4 cap)
+    * are counted in `fuzzySkippedOverLength` (their containment probe
+    * still runs; the sweep has no length cap). Returns (clean corpus,
+    * flagged contaminated rows), both carrying their original columns
+    * untouched. */
   def decontaminate(
       corpus: Dataset[Clip],
       evalSet: Dataset[Clip],
       cfg: DedupConfig,
-      alsoContained: Boolean = false): (Dataset[Clip], Dataset[Clip]) = {
+      alsoContained: Boolean = false,
+      fuzzySkippedOverLength: Option[org.apache.spark.util.LongAccumulator] = None)
+      : (Dataset[Clip], Dataset[Clip]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val nEval = evalSet.count()
     val evalRows = collectGuarded(TokenizeStage(evalSet, cfg), cfg)
+    require(evalRows.length == nEval,
+      s"${nEval - evalRows.length} of $nEval eval rows were dropped by the tokenize " +
+        s"filters (empty transcript, or > maxTokensInPattern=${cfg.maxTokensInPattern} " +
+        "tokens) — decontamination must not silently unprotect benchmark rows; raise " +
+        "cfg.maxTokensInPattern or clean the eval table first")
     val bc = spark.sparkContext.broadcast(evalRows)
     val bcId = bc.id
 
@@ -457,17 +481,14 @@ object FuzzyRetrieval {
     val useIdf = cfg.vocabIdfPenalty != 0f
     val pt = cfg.pt
     val withContained = alsoContained
-    val minSubseqLength = cfg.minSubseqLength
-    val minSubseqRatio = cfg.minSubseqRatio
+    val maxTok = cfg.maxTokensInPattern
 
     val flaggedIds = corpus.mapPartitions { it =>
-      // df needed when alsoContained: the -1 idf sentinel marks eval-unknown
-      // corpus words as subsequence breakers (massive pruning — a filler
-      // word ends the span immediately)
-      val (index, docs, rows, df) =
-        BroadcastVerifyStage.indexFor(bcId, bc.value, useIdf || withContained)
+      val (index, docs, rows, df) = BroadcastVerifyStage.indexFor(bcId, bc.value, useIdf)
       val n = rows.length
       val idfMax = if (useIdf) math.log(n.toDouble).toFloat else 0.01f
+      val minEvalLen =
+        if (rows.isEmpty) 2 else math.max(2, rows.iterator.map(_.n_tokens).min)
       it.flatMap { c =>
         val ts = Tokenizer.tokenize(c.transcript, pt)
         if (ts.norm.isEmpty) Iterator.empty
@@ -479,29 +500,37 @@ object FuzzyRetrieval {
               val d = df.getOrElse(id, 0)
               if (d > 0) math.log((n.toFloat / d.toFloat).toDouble).toFloat else 0f
             } else null
+          if (pids.length > maxTok) fuzzySkippedOverLength.foreach(_.add(1))
           val hit =
             Matcher.matchPattern(index, docs(_), pattern, params, idf, idfMax).nonEmpty || {
-              withContained && {
-                val subIdf = pids.map { id =>
-                  val d = df.getOrElse(id, 0)
-                  if (d > 0) math.log((n.toFloat / d.toFloat).toDouble).toFloat else -1f
-                }
-                Matcher.subsequence(index, docs(_), pattern, 5, noPerfect = false,
-                    minSubseqLength, minSubseqRatio, idfWeighting = false, subIdf)
-                  .exists { case (m, _, len) => len >= rows(m.sIdx).n_tokens }
-              }
+              withContained &&
+                index.longestMatches(pids, minEvalLen, 0f, params.editCosts)
+                  .exists { case (sIdx, len) => len >= index.sentenceLengthOf(sIdx) }
             }
           if (hit) Iterator.single(c.clip_id) else Iterator.empty
         }
       }
     }.toDF("flagged_id").persist()
-    flaggedIds.count()
+    val nFlagged = flaggedIds.count()
+
+    // release executor state for the common case: the flagged id set is
+    // small (contaminated fraction), so collect it, swap the joins onto a
+    // broadcast local relation, and drop the cache + eval broadcast. The
+    // pathological totally-contaminated corpus keeps the cached dataset
+    // (collecting 10^12 ids would be its own failure).
+    val flaggedRef =
+      if (nFlagged <= 1000000L) {
+        val ids = flaggedIds.as[String].collect().toSeq
+        flaggedIds.unpersist()
+        bc.destroy()
+        org.apache.spark.sql.functions.broadcast(ids.toDF("flagged_id"))
+      } else flaggedIds
 
     val clean = corpus
-      .join(flaggedIds, corpus("clip_id") === flaggedIds("flagged_id"), "left_anti")
+      .join(flaggedRef, corpus("clip_id") === flaggedRef("flagged_id"), "left_anti")
       .as[Clip]
     val flagged = corpus
-      .join(flaggedIds, corpus("clip_id") === flaggedIds("flagged_id"), "left_semi")
+      .join(flaggedRef, corpus("clip_id") === flaggedRef("flagged_id"), "left_semi")
       .as[Clip]
     (clean, flagged)
   }

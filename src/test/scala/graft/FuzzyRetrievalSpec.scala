@@ -315,6 +315,49 @@ class FuzzyRetrievalSpec extends AnyFunSuite {
     assert(clean2.collect().forall(c => c.transcript.nonEmpty))
   }
 
+  test("decontamination containment: long documents and partial-overlap masking") {
+    import spark.implicits._
+    def clip(id: String, text: String) =
+      Clip(id, Array.emptyByteArray, 16000, 0, "pcm_s16le", text)
+    val evalWords = (0 until 12).map(i => "e" + ('a' + i).toChar.toString * 3)
+    val evalSet = Seq(
+      clip("ev1", evalWords.mkString(" ")),
+      clip("ev2", "qq ww ee rr tt yy")).toDS()
+    val filler = (0 until 60).map(i => "f" + ('a' + i % 20).toChar.toString * (2 + i / 20))
+    val corpus = Seq(
+      // 66-token doc containing ev2 verbatim: a span-ratio clamp
+      // (minSubseqRatio·len = 19 > 6) would silently miss this — the J2
+      // sweep criterion must not scale the required span with doc length
+      clip("long1", (filler.take(30) ++ Seq("qq", "ww", "ee", "rr", "tt", "yy")
+        ++ filler.drop(30)).mkString(" ")),
+      // masking: shares an 8-token run with ev1 (longer than ev2!) AND
+      // contains ev2 in full — a single-best-span probe would examine only
+      // the ev1 run (8 < 12, not containment) and miss ev2's containment
+      clip("mask1", (evalWords.take(8) ++ Seq("qq", "ww", "ee", "rr", "tt", "yy")
+        ++ filler.take(20)).mkString(" ")),
+      clip("neg1", filler.mkString(" "))).toDS()
+    val dcfg = DedupConfig(threshold = 0.8f)
+    val skipped = spark.sparkContext.longAccumulator
+    val (_, flagged) = FuzzyRetrieval.decontaminate(corpus, evalSet, dcfg,
+      alsoContained = true, fuzzySkippedOverLength = Some(skipped))
+    assert(flagged.collect().map(_.clip_id).toSet == Set("long1", "mask1"),
+      s"flagged ${flagged.collect().map(_.clip_id).toSet}")
+    assert(skipped.value == 0) // none of these docs exceed the 300-token DP cap
+  }
+
+  test("decontamination fails loudly when eval rows are dropped by tokenize filters") {
+    import spark.implicits._
+    def clip(id: String, text: String) =
+      Clip(id, Array.emptyByteArray, 16000, 0, "pcm_s16le", text)
+    val longEval = clip("evLong", (0 until 30).map(i => "e" + ('a' + i % 20).toChar).mkString(" "))
+    val corpus = Seq(clip("t1", "aa bb cc")).toDS()
+    val tight = DedupConfig(threshold = 0.8f, maxTokensInPattern = 10)
+    val e = intercept[IllegalArgumentException] {
+      FuzzyRetrieval.decontaminate(corpus, Seq(longEval).toDS(), tight)
+    }
+    assert(e.getMessage.contains("unprotect"), e.getMessage)
+  }
+
   test("shuffle path with λ>0 tokenizes the corpus ONCE (rerank join reads the cache)") {
     import spark.implicits._
     // count corpus rows flowing INTO TokenizeStage: with cToks persisted

@@ -65,10 +65,15 @@ class RetrievalIndexSpec extends AnyFunSuite {
       "broadcast path diverged from the prebuilt index")
     assert(rows(FuzzyRetrieval.topkShuffleIndexed(queries, loaded, cfg, 5)) == directShuffle,
       "shuffle path diverged from the prebuilt index")
-    // subsequence retrieval serves from the index too
+    // subsequence retrieval serves from the index too — pinned against the
+    // direct path, not just non-emptiness
+    val subDirect = FuzzyRetrieval.subsequence(queries,
+        clips.toDS(), cfg, 5)
+      .collect().map(r => (r.query_id, r.s_id, r.score, r.max_subseq, r.subseq_surface)).toSet
     val sub = FuzzyRetrieval.subsequenceIndexed(queries, loaded, cfg, 5)
-      .collect().map(r => (r.query_id, r.s_id, r.score)).toSet
-    assert(sub.nonEmpty, "subsequence-from-index returned nothing")
+      .collect().map(r => (r.query_id, r.s_id, r.score, r.max_subseq, r.subseq_surface)).toSet
+    assert(sub == subDirect && sub.nonEmpty,
+      s"subsequence-from-index diverged: $sub vs $subDirect")
   }
 
   test("loadIndex rejects a mismatched tokenizer config loudly") {
