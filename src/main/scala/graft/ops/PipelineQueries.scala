@@ -373,6 +373,19 @@ object PipelineQueries {
         col("max_subseq").cast("bigint").as("max_subseq"), col("subseq_surface"))
   }
 
+  /** Eval-set decontamination over documents-as-clips: the 20 lowest-id
+    * documents are the "benchmark" set; emit every corpus row flagged as a
+    * fuzzy near-dup of — or verbatim container of — any of them. The eval
+    * rows are themselves in the corpus, so the result is never vacuous
+    * (each flags itself at score 1). */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = documentsAsClips(spark, dir)
+    val evalSet = corpus.filter(col("clip_id").cast("long") < 20)
+    val (_, flagged) = FuzzyRetrieval.decontaminate(
+      corpus, evalSet, DedupConfig(threshold = 0.8f), alsoContained = true)
+    flagged.toDF().select(col("clip_id"), col("transcript"))
+  }
+
   /** Full dedup pipeline over documents-as-clips: cluster assignments. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val cfg = DedupConfig(threshold = 0.8f)
@@ -409,6 +422,7 @@ object PipelineQueries {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_audio_dup_pairs" -> (qAudioDupPairs _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_dedup_survivors_medoid" -> (qDedupSurvivorsMedoid _),
