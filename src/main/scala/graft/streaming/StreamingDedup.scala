@@ -14,8 +14,9 @@ import graft.text.Tokenizer
   * /root/reference/cli/src/FuzzyMatch-cli.cc:112-193); these operators are
   * the incremental-ingest path a production corpus needs: signature
   * extraction on arrival, candidate generation against the existing corpus
-  * via a stream-static band join, and stateful exact dedup within the
-  * stream itself.
+  * via a stream-static band join, VERIFIED near-dup edges in-stream
+  * ([[edgesAgainstCorpus]]), stateful exact dedup within the stream, and
+  * streaming top-k retrieval against a static index.
   */
 object StreamingDedup {
 
