@@ -24,6 +24,10 @@ import graft.dedup.{DedupConfig, DedupPipeline, FuzzyRetrieval}
   * retrieval (`-a subseq`, broadcast index only) and emits one row per
   * query with the detokenized matched span. `action=index` tokenizes
   * `corpus` and writes the index to `outDir` (queries arg ignored, pass `-`).
+  * `action=decon` runs eval-set decontamination: `queries` is the
+  * eval/benchmark table, `corpus` the training corpus; writes the CLEAN
+  * corpus to `outDir` (or prints flagged rows with `-`) and reports
+  * `DECON clean/flagged/total` counts. Containment flagging is always on.
   */
 object MatchCli {
   def main(args: Array[String]): Unit = {
@@ -48,6 +52,26 @@ object MatchCli {
       FuzzyRetrieval.saveIndex(load(spark, corpusArg), cfg, outDir)
       val n = graft.data.TableIO.read(spark, s"$outDir/toks").count()
       println(s"INDEXED $n rows -> $outDir")
+      spark.stop()
+      return
+    }
+
+    if (action == "decon") {
+      val trainCorpus = load(spark, corpusArg)
+      val evalSet = load(spark, queriesArg)
+      val skipped = spark.sparkContext.longAccumulator("deconFuzzySkippedOverLength")
+      val (clean, flagged) = FuzzyRetrieval.decontaminate(trainCorpus, evalSet, cfg,
+        alsoContained = true, fuzzySkippedOverLength = Some(skipped))
+      val nFlagged = flagged.count()
+      val nTotal = trainCorpus.count()
+      if (outDir == "-") {
+        flagged.toDF().select("clip_id", "transcript")
+          .orderBy("clip_id").show(50, truncate = false)
+      } else {
+        TableIO.write(clean.toDF(), outDir, SaveMode.Overwrite)
+      }
+      println(s"DECON ${nTotal - nFlagged}/$nFlagged/$nTotal clean/flagged/total" +
+        (if (skipped.value > 0) s" (fuzzy probe skipped ${skipped.value} over-length rows)" else ""))
       spark.stop()
       return
     }
