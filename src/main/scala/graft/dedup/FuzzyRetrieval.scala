@@ -592,6 +592,34 @@ object FuzzyRetrieval {
     finally out.close()
   }
 
+  /** Incrementally add rows to an existing retrieval index — O(new rows)
+    * work, in deliberate contrast to the reference's documented scaling
+    * wall (any insert marks its global suffix array unsorted and costs a
+    * full O(N) re-sort, /root/reference/src/suffix_array.cc:24,
+    * README.md:165-170): the table-backed index just appends committed
+    * part-files, and the per-bucket/per-executor suffix arrays are rebuilt
+    * from whatever the table holds at match time. Tokenizer config must
+    * match the existing index (same contract as [[loadIndex]]). Crash-safe
+    * via the commit protocol: a killed append leaves only uncommitted
+    * temporary files, which reads ignore — the index stays at its
+    * pre-append state. Duplicate clip_ids across appends are tolerated for
+    * retrieval (reference TM semantics: both rows indexed, both can
+    * match). */
+  def appendIndex(newClips: Dataset[Clip], cfg: DedupConfig, dir: String): Unit = {
+    val spark = newClips.sparkSession
+    val m = readIndexMeta(spark, dir)
+    require(m.version == indexMetaVersion && m.pt == cfg.pt &&
+        m.maxTokensInPattern == cfg.maxTokensInPattern,
+      s"index at $dir (version ${m.version}, pt=${m.pt}, maxTokensInPattern=" +
+        s"${m.maxTokensInPattern}) does not match the append config " +
+        s"(pt=${cfg.pt}, maxTokensInPattern=${cfg.maxTokensInPattern}) — " +
+        "index and append configs must be identical (reference README.md:18)")
+    require(graft.data.TableIO.exists(spark, s"$dir/toks"),
+      s"index at $dir has no COMMITTED toks table — rebuild with saveIndex first")
+    graft.data.TableIO.write(TokenizeStage(newClips, cfg).toDF(), s"$dir/toks",
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** Load a prebuilt retrieval index, failing loudly when `dir` holds no
     * index, an UNCOMMITTED index (killed mid-write), or one indexed under a
     * different tokenizer config than `cfg` (silently matching against an

@@ -47,9 +47,10 @@ object MatchCli {
 
     val cfg = DedupConfig(threshold = threshold)
 
-    if (action == "index") {
-      require(outDir != "-", "action=index writes the index to <outDir>")
-      FuzzyRetrieval.saveIndex(load(spark, corpusArg), cfg, outDir)
+    if (action == "index" || action == "append") {
+      require(outDir != "-", s"action=$action writes the index to <outDir>")
+      if (action == "index") FuzzyRetrieval.saveIndex(load(spark, corpusArg), cfg, outDir)
+      else FuzzyRetrieval.appendIndex(load(spark, corpusArg), cfg, outDir)
       val n = graft.data.TableIO.read(spark, s"$outDir/toks").count()
       println(s"INDEXED $n rows -> $outDir")
       spark.stop()

@@ -96,6 +96,24 @@ class RetrievalIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("saveIndex"), e.getMessage)
   }
 
+  test("appendIndex: incremental O(new) insert — appended rows are matchable, old results keep") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("retr-idx-append").toString
+    val base = Seq(Clip("1", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd"))
+    FuzzyRetrieval.saveIndex(base.toDS(), cfg, tmp)
+    val extra = Seq(Clip("9", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc ee"))
+    FuzzyRetrieval.appendIndex(extra.toDS(), cfg, tmp)
+    val queries = Seq(Clip("q", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd")).toDS()
+    val got = rows(FuzzyRetrieval.topkIndexed(queries, FuzzyRetrieval.loadIndex(spark, tmp, cfg), cfg, 5))
+    assert(got.map(_._3) == Set("1", "9"),
+      s"append not matchable (the reference's O(N) re-sort wall, fixed): $got")
+    // config mismatch on append fails loudly too
+    val e = intercept[IllegalArgumentException] {
+      FuzzyRetrieval.appendIndex(extra.toDS(), cfg.copy(pt = PT.none), tmp)
+    }
+    assert(e.getMessage.contains("identical"), e.getMessage)
+  }
+
   test("loadIndex rejects an UNCOMMITTED index (meta present, toks table not committed)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("retr-idx-part").toString
