@@ -547,10 +547,33 @@ object FuzzyRetrieval {
 
   private val indexMetaVersion = 1
 
-  /** Parsed `index_meta.json`. */
-  final case class IndexMeta(version: Int, pt: Int, maxTokensInPattern: Int)
+  /** Parsed `index_meta.json`. `segments` = number of committed token-table
+    * segments (`toks`, `toks_1`, …) — the meta is the atomic commit pointer
+    * for appends. */
+  final case class IndexMeta(version: Int, pt: Int, maxTokensInPattern: Int, segments: Int)
 
   private def metaPathOf(dir: String) = new org.apache.hadoop.fs.Path(dir, "index_meta.json")
+
+  private def segmentPath(dir: String, i: Int): String =
+    if (i == 0) s"$dir/toks" else s"$dir/toks_$i"
+
+  /** Write the meta file via temp + delete + rename (rename is atomic on
+    * local/HDFS; the delete→rename window can only make a concurrent reader
+    * fail LOUDLY on a missing meta — single-writer assumed, as for any
+    * index build). */
+  private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cfg: DedupConfig, segments: Int): Unit = {
+    val p = metaPathOf(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir, "index_meta.json.tmp")
+    val meta = s"""{"version":$indexMetaVersion,"pt":${cfg.pt},""" +
+      s""""maxTokensInPattern":${cfg.maxTokensInPattern},"segments":$segments}"""
+    val out = fs.create(tmp, true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"could not commit index meta at $p")
+  }
 
   /** Read + parse an index's meta file (shared by [[loadIndex]] and the
     * DumpCli introspection tool — ONE copy of the parsing contract). */
@@ -565,80 +588,85 @@ object FuzzyRetrieval {
     val meta =
       try scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8).mkString
       finally in.close()
-    def field(name: String): Int =
+    def field(name: String, default: Int = Int.MinValue): Int =
       s""""$name":(-?\\d+)""".r.findFirstMatchIn(meta) match {
         case Some(m) => m.group(1).toInt
+        case None if default != Int.MinValue => default
         case None => sys.error(s"malformed index meta at $dir: missing '$name' in $meta")
       }
-    IndexMeta(field("version"), field("pt"), field("maxTokensInPattern"))
+    IndexMeta(field("version"), field("pt"), field("maxTokensInPattern"),
+      field("segments", default = 1))
+  }
+
+  private def requireConfigMatch(m: IndexMeta, cfg: DedupConfig, dir: String, what: String): Unit = {
+    require(m.version == indexMetaVersion,
+      s"index at $dir has meta version ${m.version}, this engine reads $indexMetaVersion")
+    require(m.pt == cfg.pt && m.maxTokensInPattern == cfg.maxTokensInPattern,
+      s"index at $dir was built with pt=${m.pt} maxTokensInPattern=" +
+        s"${m.maxTokensInPattern} but the $what config has pt=${cfg.pt} " +
+        s"maxTokensInPattern=${cfg.maxTokensInPattern} — index and $what configs " +
+        "must be identical (reference README.md:18)")
   }
 
   /** Tokenize the corpus once and persist it as a retrieval index at `dir`
     * (`dir/toks` table + `dir/index_meta.json`). Crash-safe ordering: the
     * meta file is the COMMIT MARKER — any stale copy is deleted before the
-    * table write and the new one is written only after the table commits,
-    * so a job killed mid-write leaves a dir that [[loadIndex]] rejects
-    * rather than a stale meta over partial part-files. */
+    * table write and the new one is written (temp + atomic rename) only
+    * after the table commits, so a job killed mid-write leaves a dir that
+    * [[loadIndex]] rejects rather than a stale meta over partial
+    * part-files. */
   def saveIndex(corpus: Dataset[Clip], cfg: DedupConfig, dir: String): Unit = {
     val spark = corpus.sparkSession
     val p = metaPathOf(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, false)
-    graft.data.TableIO.write(TokenizeStage(corpus, cfg).toDF(), s"$dir/toks")
-    val meta = s"""{"version":$indexMetaVersion,"pt":${cfg.pt},""" +
-      s""""maxTokensInPattern":${cfg.maxTokensInPattern}}"""
-    val out = fs.create(p, true)
-    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    graft.data.TableIO.write(TokenizeStage(corpus, cfg).toDF(), segmentPath(dir, 0))
+    writeIndexMeta(spark, dir, cfg, segments = 1)
   }
 
   /** Incrementally add rows to an existing retrieval index — O(new rows)
     * work, in deliberate contrast to the reference's documented scaling
     * wall (any insert marks its global suffix array unsorted and costs a
     * full O(N) re-sort, /root/reference/src/suffix_array.cc:24,
-    * README.md:165-170): the table-backed index just appends committed
-    * part-files, and the per-bucket/per-executor suffix arrays are rebuilt
-    * from whatever the table holds at match time. Tokenizer config must
-    * match the existing index (same contract as [[loadIndex]]). Crash-safe
-    * via the commit protocol: a killed append leaves only uncommitted
-    * temporary files, which reads ignore — the index stays at its
-    * pre-append state. Duplicate clip_ids across appends are tolerated for
-    * retrieval (reference TM semantics: both rows indexed, both can
-    * match). */
+    * README.md:165-170): each append lands as a NEW committed segment table
+    * (`toks_k`) and the meta's `segments` count — rewritten last, via
+    * atomic rename — is the commit pointer. A killed append leaves at most
+    * an orphan segment dir the meta does not reference: readers see exactly
+    * the pre-append index, and re-running the append overwrites the orphan
+    * (no duplication). Per-bucket/per-executor suffix arrays rebuild from
+    * whatever segments the meta commits at match time. Tokenizer config
+    * must match the existing index (same contract as [[loadIndex]]).
+    * Duplicate clip_ids across appends are tolerated for retrieval
+    * (reference TM semantics: both rows indexed, both can match). */
   def appendIndex(newClips: Dataset[Clip], cfg: DedupConfig, dir: String): Unit = {
     val spark = newClips.sparkSession
     val m = readIndexMeta(spark, dir)
-    require(m.version == indexMetaVersion && m.pt == cfg.pt &&
-        m.maxTokensInPattern == cfg.maxTokensInPattern,
-      s"index at $dir (version ${m.version}, pt=${m.pt}, maxTokensInPattern=" +
-        s"${m.maxTokensInPattern}) does not match the append config " +
-        s"(pt=${cfg.pt}, maxTokensInPattern=${cfg.maxTokensInPattern}) — " +
-        "index and append configs must be identical (reference README.md:18)")
-    require(graft.data.TableIO.exists(spark, s"$dir/toks"),
+    requireConfigMatch(m, cfg, dir, "append")
+    require(graft.data.TableIO.exists(spark, segmentPath(dir, 0)),
       s"index at $dir has no COMMITTED toks table — rebuild with saveIndex first")
-    graft.data.TableIO.write(TokenizeStage(newClips, cfg).toDF(), s"$dir/toks",
-      org.apache.spark.sql.SaveMode.Append)
+    graft.data.TableIO.write(TokenizeStage(newClips, cfg).toDF(),
+      segmentPath(dir, m.segments))
+    writeIndexMeta(spark, dir, cfg, segments = m.segments + 1)
   }
 
   /** Load a prebuilt retrieval index, failing loudly when `dir` holds no
     * index, an UNCOMMITTED index (killed mid-write), or one indexed under a
     * different tokenizer config than `cfg` (silently matching against an
     * index tokenized differently is the reference's documented foot-gun,
-    * README.md:18). */
+    * README.md:18). Reads exactly the segments the meta commits — orphan
+    * segment dirs from a killed append are ignored. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       cfg: DedupConfig): Dataset[TokRow] = {
     import spark.implicits._
     val m = readIndexMeta(spark, dir)
-    require(m.version == indexMetaVersion,
-      s"index at $dir has meta version ${m.version}, this engine reads $indexMetaVersion")
-    require(m.pt == cfg.pt && m.maxTokensInPattern == cfg.maxTokensInPattern,
-      s"index at $dir was built with pt=${m.pt} maxTokensInPattern=" +
-        s"${m.maxTokensInPattern} but the match config has pt=${cfg.pt} " +
-        s"maxTokensInPattern=${cfg.maxTokensInPattern} — index and match configs " +
-        "must be identical (reference README.md:18)")
-    require(graft.data.TableIO.exists(spark, s"$dir/toks"),
-      s"index at $dir has a meta file but no COMMITTED toks table — the index " +
-        "write did not complete; rebuild with saveIndex / MatchCli action=index")
-    graft.data.TableIO.read(spark, s"$dir/toks").as[TokRow]
+    requireConfigMatch(m, cfg, dir, "match")
+    val parts = (0 until m.segments).map { i =>
+      val seg = segmentPath(dir, i)
+      require(graft.data.TableIO.exists(spark, seg),
+        s"index at $dir references segment $seg with no COMMITTED table — the " +
+          "index write did not complete; rebuild with saveIndex / MatchCli action=index")
+      graft.data.TableIO.read(spark, seg)
+    }
+    parts.reduce(_.union(_)).as[TokRow]
   }
 }

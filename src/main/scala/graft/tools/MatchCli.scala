@@ -32,7 +32,7 @@ import graft.dedup.{DedupConfig, DedupPipeline, FuzzyRetrieval}
 object MatchCli {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: MatchCli <corpus|index:DIR> <queries> <outDir|-> " +
-      "[threshold] [nmatch] [noPerfect] [broadcast|shuffle] [match|subseq|index]")
+      "[threshold] [nmatch] [noPerfect] [broadcast|shuffle] [match|subseq|index|append|decon]")
     val Array(corpusArg, queriesArg, outDir) = args.take(3)
     val threshold = if (args.length > 3) args(3).toFloat else 0.8f
     val nmatch = if (args.length > 4) args(4).toInt else 5
@@ -51,20 +51,23 @@ object MatchCli {
       require(outDir != "-", s"action=$action writes the index to <outDir>")
       if (action == "index") FuzzyRetrieval.saveIndex(load(spark, corpusArg), cfg, outDir)
       else FuzzyRetrieval.appendIndex(load(spark, corpusArg), cfg, outDir)
-      val n = graft.data.TableIO.read(spark, s"$outDir/toks").count()
-      println(s"INDEXED $n rows -> $outDir")
+      val n = FuzzyRetrieval.loadIndex(spark, outDir, cfg).count()
+      if (action == "index") println(s"INDEXED $n rows -> $outDir")
+      else println(s"APPENDED -> $outDir (index now $n rows)")
       spark.stop()
       return
     }
 
     if (action == "decon") {
-      val trainCorpus = load(spark, corpusArg)
+      // one materialization of the corpus serves the decontamination pass,
+      // both counts, and the clean write — not four separate scans
+      val trainCorpus = load(spark, corpusArg).persist()
+      val nTotal = trainCorpus.count()
       val evalSet = load(spark, queriesArg)
       val skipped = spark.sparkContext.longAccumulator("deconFuzzySkippedOverLength")
       val (clean, flagged) = FuzzyRetrieval.decontaminate(trainCorpus, evalSet, cfg,
         alsoContained = true, fuzzySkippedOverLength = Some(skipped))
       val nFlagged = flagged.count()
-      val nTotal = trainCorpus.count()
       if (outDir == "-") {
         flagged.toDF().select("clip_id", "transcript")
           .orderBy("clip_id").show(50, truncate = false)
@@ -96,7 +99,8 @@ object MatchCli {
       case ("subseq", other) =>
         sys.error(s"action subseq supports only the broadcast strategy (got '$other')")
       case (a, s) =>
-        sys.error(s"unknown action/strategy '$a'/'$s' (use match|subseq|index, broadcast|shuffle)")
+        sys.error(s"unknown action/strategy '$a'/'$s' " +
+          "(use match|subseq|index|append|decon, broadcast|shuffle)")
     }
 
     val persisted = results.persist()

@@ -103,10 +103,22 @@ class RetrievalIndexSpec extends AnyFunSuite {
     FuzzyRetrieval.saveIndex(base.toDS(), cfg, tmp)
     val extra = Seq(Clip("9", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc ee"))
     FuzzyRetrieval.appendIndex(extra.toDS(), cfg, tmp)
+    // second append (a third committed segment)
+    FuzzyRetrieval.appendIndex(
+      Seq(Clip("10", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd ff")).toDS(),
+      cfg, tmp)
     val queries = Seq(Clip("q", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd")).toDS()
-    val got = rows(FuzzyRetrieval.topkIndexed(queries, FuzzyRetrieval.loadIndex(spark, tmp, cfg), cfg, 5))
-    assert(got.map(_._3) == Set("1", "9"),
-      s"append not matchable (the reference's O(N) re-sort wall, fixed): $got")
+    def matchIds() = rows(
+      FuzzyRetrieval.topkIndexed(queries, FuzzyRetrieval.loadIndex(spark, tmp, cfg), cfg, 5))
+      .map(_._3)
+    assert(matchIds() == Set("1", "9", "10"),
+      s"append not matchable (the reference's O(N) re-sort wall, fixed): ${matchIds()}")
+    // a KILLED append = an orphan segment dir the meta never committed:
+    // readers must see exactly the pre-append index
+    Seq(Clip("99", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd gg")).toDS()
+      .toDF().write.parquet(s"$tmp/toks_3")
+    assert(matchIds() == Set("1", "9", "10"),
+      "orphan (uncommitted) append segment leaked into match results")
     // config mismatch on append fails loudly too
     val e = intercept[IllegalArgumentException] {
       FuzzyRetrieval.appendIndex(extra.toDS(), cfg.copy(pt = PT.none), tmp)
