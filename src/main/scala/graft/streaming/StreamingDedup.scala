@@ -283,6 +283,30 @@ object StreamingDedup {
       noPerfect: Boolean = false): Dataset[graft.dedup.RetrievalRow] =
     graft.dedup.FuzzyRetrieval.topk(queryStream, corpus, cfg, numberOfMatches, noPerfect)
 
+  /** Streaming index maintenance: arriving clips are appended to a
+    * persisted retrieval index per micro-batch
+    * ([[graft.dedup.FuzzyRetrieval.appendIndex]] inside `foreachBatch`) —
+    * the composition the reference cannot express at all (its index is
+    * all-or-nothing: any insert costs a full O(N) re-sort,
+    * /root/reference/src/suffix_array.cc:24). Each micro-batch lands as one
+    * committed segment; match jobs pick up the new rows on their next
+    * `loadIndex`. Delivery is the engine's at-least-once `foreachBatch`
+    * contract: a batch retried after its meta commit appends its rows
+    * twice — duplicate ids are tolerated by retrieval (reference TM
+    * semantics: both rows indexed, both can match), and exact dedup of the
+    * stream itself belongs upstream ([[firstOccurrence]]). The index must
+    * already exist (saveIndex), so the config pin is enforced per batch. */
+  def indexIngest(
+      clips: Dataset[Clip],
+      cfg: DedupConfig,
+      indexDir: String): org.apache.spark.sql.streaming.DataStreamWriter[Clip] =
+    clips.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Clip], _: Long) =>
+        if (!batch.isEmpty)
+          graft.dedup.FuzzyRetrieval.appendIndex(batch, cfg, indexDir)
+      }
+
   /** End-to-end streaming signature extraction from a parquet directory
     * source to a sink table, used by tests and as the ingest-job template. */
   def runSignatureIngest(

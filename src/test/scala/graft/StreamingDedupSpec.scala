@@ -147,6 +147,41 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(!streamed.exists(_._1 == "s2"))
   }
 
+  test("streaming index ingest: micro-batches append committed segments, match sees them") {
+    import spark.implicits._
+    def clip(id: String, text: String) =
+      graft.data.Clip(id, Array.emptyByteArray, 16000, 0, "pcm_s16le", text)
+    val icfg = DedupConfig(threshold = 0.8f)
+    val idxDir = java.nio.file.Files.createTempDirectory("stream-idx").toString + "/idx"
+    graft.dedup.FuzzyRetrieval.saveIndex(
+      Seq(clip("base", "aa bb cc dd")).toDS(), icfg, idxDir)
+
+    val inDir = java.nio.file.Files.createTempDirectory("stream-idx-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-idx-ckpt").toString
+    Seq(clip("s1", "aa bb cc ee")).toDS().write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(StreamingDedup.clipSchema).parquet(inDir)
+      .as[graft.data.Clip]
+    def runLeg(): Unit = {
+      val q = StreamingDedup.indexIngest(stream, icfg, idxDir)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runLeg()
+    Seq(clip("s2", "aa bb cc dd ff")).toDS().write.mode("append").parquet(inDir)
+    runLeg() // restart from checkpoint: only the new file appends
+    val indexed = graft.dedup.FuzzyRetrieval.loadIndex(spark, idxDir, icfg)
+      .collect().map(_.clip_id).toSet
+    assert(indexed == Set("base", "s1", "s2"), s"streamed rows missing from index: $indexed")
+    // and a match job sees them (0.7: s1 'aa bb cc ee' scores 0.75 vs the query)
+    val queries = Seq(clip("q", "aa bb cc dd")).toDS()
+    val ids = graft.dedup.FuzzyRetrieval.topkIndexed(queries,
+        graft.dedup.FuzzyRetrieval.loadIndex(spark, idxDir, icfg),
+        icfg.copy(threshold = 0.7f), 5)
+      .collect().map(_.s_id).toSet
+    assert(ids == Set("base", "s1", "s2"), s"streamed index rows missing from match: $ids")
+  }
+
   test("near-dup edges honor the idf config (== full-index matcher with idf)") {
     import spark.implicits._
     def clip(id: String, text: String) =
