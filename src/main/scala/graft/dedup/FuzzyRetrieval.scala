@@ -637,7 +637,12 @@ object FuzzyRetrieval {
     * whatever segments the meta commits at match time. Tokenizer config
     * must match the existing index (same contract as [[loadIndex]]).
     * Duplicate clip_ids across appends are tolerated for retrieval
-    * (reference TM semantics: both rows indexed, both can match). */
+    * (reference TM semantics: both rows indexed, both can match).
+    * Operational note: every append adds one segment table; after many
+    * appends, compact by re-running [[saveIndex]] over the full corpus
+    * into a fresh dir (an in-place compaction would need a meta that names
+    * segments explicitly to stay crash-safe — not worth it while segment
+    * counts stay operational). */
   def appendIndex(newClips: Dataset[Clip], cfg: DedupConfig, dir: String): Unit = {
     val spark = newClips.sparkSession
     val m = readIndexMeta(spark, dir)
