@@ -61,7 +61,8 @@ object DumpCli {
         .orderBy(col("sfreq").desc, col("form").asc)
         .limit(topN).collect()
       println(s"GRAFT DISTRIBUTED INDEX $path")
-      println(s"meta version=${m.version} pt=${m.pt} maxTokensInPattern=${m.maxTokensInPattern}")
+      println(s"meta version=${m.version} pt=${m.pt} maxTokensInPattern=${m.maxTokensInPattern} " +
+        s"segments=${m.segments}")
       println(s"sentences=${stats.getLong(0)} suffixes=${stats.getLong(1)} " +
         f"max_len=${stats.getInt(2)} avg_len=${stats.getDouble(3)}%.2f " +
         s"approx_distinct_rows=${stats.getLong(4)}")
