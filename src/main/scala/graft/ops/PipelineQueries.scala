@@ -122,19 +122,22 @@ object PipelineQueries {
     * ONE re-join to the embeddings table for the cosine verify via the
     * native dot/norm codegen expressions (bit-identical accumulation order
     * to the old kernel, pinned by AnnLshShapeSpec set-equality). */
-  def annLsh(
+  /** Candidate-pair core of [[annLsh]] (and of the embedding near-dup
+    * query): hyperplane-LSH (bucket, id)-only entries through the shared
+    * codegen bucket equi-join, deduplicated id pairs, ONE re-join to the
+    * embeddings for the cosine — returns (a_id, b_id, sim) with a_id <
+    * b_id. */
+  private def annLshPairs(
       spark: SparkSession,
       dir: String,
-      bits: Int = 4,
-      bands: Int = 24,
-      bucketCap: Int = 4096,
-      k: Int = 5): (DataFrame, org.apache.spark.util.LongAccumulator) = {
+      bits: Int,
+      bands: Int,
+      bucketCap: Int,
+      cappedBuckets: org.apache.spark.util.LongAccumulator): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorExprs.{dotF, l2normF}
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val cappedBuckets = spark.sparkContext.longAccumulator("annLshCappedBuckets")
 
     // one skinny (bucket, id) entry per band; bucket key = band ++ sketch.
     // Hyperplanes are generated lazily per PARTITION from a fixed seed and
@@ -184,9 +187,21 @@ object PipelineQueries {
       .select(col("vec_id"), col("embedding"), l2normF(col("embedding")).as("nrm"))
     val ea = withNorm.toDF("a_id", "a_emb", "a_nrm")
     val eb = withNorm.toDF("b_id", "b_emb", "b_nrm")
-    val sims = pairs.join(ea, "a_id").join(eb, "b_id")
+    pairs.join(ea, "a_id").join(eb, "b_id")
       .withColumn("sim", dotF(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
       .select("a_id", "b_id", "sim")
+  }
+
+  def annLsh(
+      spark: SparkSession,
+      dir: String,
+      bits: Int = 4,
+      bands: Int = 24,
+      bucketCap: Int = 4096,
+      k: Int = 5): (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    import org.apache.spark.sql.expressions.Window
+    val cappedBuckets = spark.sparkContext.longAccumulator("annLshCappedBuckets")
+    val sims = annLshPairs(spark, dir, bits, bands, bucketCap, cappedBuckets)
 
     // both directions → top-k neighbors per query
     val both = sims.select(col("a_id").as("q_id"), col("b_id").as("c_id"), col("sim"))
@@ -201,6 +216,22 @@ object PipelineQueries {
   }
 
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = annLsh(spark, dir)._1
+
+  /** Embedding-cosine near-duplicate PAIRS — the embedding-side dedup
+    * channel (prompt family: "embedding-cosine near-dup"): hyperplane-LSH
+    * candidates, cosine-verified at `simThreshold`, emitted once per
+    * unordered pair. On real embeddings near-dups sit at cosine ≈ 1; the
+    * synthetic testdata is near-random (exact top-5 cosine ≈ 0.25–0.6), so
+    * the default threshold is set where that data has deterministic,
+    * non-empty matter. Scale shape = [[annLshPairs]] (id-only bucket join,
+    * capped+counted, one embedding re-join). */
+  def qEmbedDupPairs(spark: SparkSession, dir: String,
+      simThreshold: Double = 0.45): DataFrame = {
+    val acc = spark.sparkContext.longAccumulator("embedDupCappedBuckets")
+    annLshPairs(spark, dir, bits = 4, bands = 24, bucketCap = 4096, acc)
+      .filter(col("sim") >= simThreshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+  }
 
   /** IVF-flat approximate nearest neighbors — the partition-pruned scale
     * path next to brute force (q_ann_topk) and hyperplane LSH (q_ann_lsh).
@@ -420,6 +451,7 @@ object PipelineQueries {
     "q_minhash_sigs" -> (qMinhashSigs _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_embed_dup_pairs" -> ((s: SparkSession, d: String) => qEmbedDupPairs(s, d)),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_audio_dup_pairs" -> (qAudioDupPairs _),
     "q_decontaminate" -> (qDecontaminate _),

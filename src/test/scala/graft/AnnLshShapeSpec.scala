@@ -113,6 +113,34 @@ class AnnLshShapeSpec extends AnyFunSuite {
       s"capped rewrite diverged: ${(current -- legacy).take(5)} extra, ${(legacy -- current).take(5)} missing")
   }
 
+  test("embedding near-dup pairs: no false positives vs exact, recall >= 0.9 at the default threshold") {
+    import spark.implicits._
+    // exact truth with the SAME accumulation as the query's codegen exprs
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    val nrm = e.map(v => math.sqrt(dot(v._2, v._2)))
+    val thresh = 0.45
+    val exact = (for {
+      i <- e.indices; j <- (i + 1) until e.length
+      sim = dot(e(i)._2, e(j)._2) / (nrm(i) * nrm(j))
+      if sim >= thresh
+    } yield {
+      val (a, b) = (e(i)._1, e(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    assert(exact.nonEmpty, "no exact pairs at the default threshold — vacuous fixture")
+    val got = PipelineQueries.qEmbedDupPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((got -- exact).isEmpty, s"false positives: ${(got -- exact).take(5)}")
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"embed near-dup recall $recall (${(got & exact).size}/${exact.size})")
+  }
+
   test("annLsh physical plan: codegen bucket equi-join, no typed group kernel") {
     val p = PipelineQueries.qAnnLsh(spark, dir).queryExecution.executedPlan.toString
     assert(!p.contains("FlatMapGroups") && !p.contains("MapGroups"),
