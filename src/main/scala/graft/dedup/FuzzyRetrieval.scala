@@ -322,7 +322,7 @@ object FuzzyRetrieval {
           .persist()
         withIds.count()
         releaseCToks()
-        withIds
+        val reranked = withIds
           .groupByKey(_._1)
           .flatMapGroups { (qid, it) =>
             val all = it.toArray.sortBy(m => (-m._4, m._2))
@@ -354,6 +354,15 @@ object FuzzyRetrieval {
                 RetrievalRow(qid, r + 1, ms(m.sIdx)._2, m.score, m.maxSubseq)
               }
           }
+        // the reranked set is top-k per query — result-sized; materialize it
+        // (eager localCheckpoint, lineage truncated) so withIds' cache is
+        // released HERE instead of pinning one copy per invocation for the
+        // session lifetime (the release-upstream-caches discipline this
+        // branch already applies to every other cache it creates)
+        val out = reranked.localCheckpoint()
+        withIds.unpersist()
+        scored.unpersist() // nothing downstream reads the edge cache either
+        out
       }
     ranked
   }
@@ -545,29 +554,34 @@ object FuzzyRetrieval {
   // configs to agree (README.md:18), enforced loudly at load.
   // ------------------------------------------------------------------
 
-  private val indexMetaVersion = 1
+  private val indexMetaVersion = 2
 
-  /** Parsed `index_meta.json`. `segments` = number of committed token-table
-    * segments (`toks`, `toks_1`, …) — the meta is the atomic commit pointer
-    * for appends. */
-  final case class IndexMeta(version: Int, pt: Int, maxTokensInPattern: Int, segments: Int)
+  /** Parsed `index_meta.json`. `names` = the committed token-table segments
+    * in commit order — the meta is the atomic commit pointer for appends
+    * AND compaction (a segment dir not named here is an ignored orphan).
+    * `next` = the next segment ordinal to allocate (never reused, so a
+    * compacted-away name can never be confused with a live one). `segments`
+    * = names.size, kept as a field for the introspection surface. Version-1
+    * metas (count-based) read as names = toks, toks_1 … toks_{segments-1},
+    * next = segments — the exact pre-compaction layout. */
+  final case class IndexMeta(version: Int, pt: Int, maxTokensInPattern: Int, segments: Int,
+      names: Seq[String], next: Int)
 
   private def metaPathOf(dir: String) = new org.apache.hadoop.fs.Path(dir, "index_meta.json")
 
-  private def segmentPath(dir: String, i: Int): String =
-    if (i == 0) s"$dir/toks" else s"$dir/toks_$i"
+  private def segmentName(i: Int): String = if (i == 0) "toks" else s"toks_$i"
 
   /** Write the meta file via temp + delete + rename (rename is atomic on
     * local/HDFS; the delete→rename window can only make a concurrent reader
-    * fail LOUDLY on a missing meta — single-writer assumed, as for any
-    * index build). */
+    * fail LOUDLY on a missing meta — writers hold the index write lock). */
   private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession, dir: String,
-      cfg: DedupConfig, segments: Int): Unit = {
+      cfg: DedupConfig, names: Seq[String], next: Int): Unit = {
     val p = metaPathOf(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(dir, "index_meta.json.tmp")
     val meta = s"""{"version":$indexMetaVersion,"pt":${cfg.pt},""" +
-      s""""maxTokensInPattern":${cfg.maxTokensInPattern},"segments":$segments}"""
+      s""""maxTokensInPattern":${cfg.maxTokensInPattern},"segments":${names.size},""" +
+      s""""names":[${names.map(n => "\"" + n + "\"").mkString(",")}],"next":$next}"""
     val out = fs.create(tmp, true)
     try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -594,13 +608,18 @@ object FuzzyRetrieval {
         case None if default != Int.MinValue => default
         case None => sys.error(s"malformed index meta at $dir: missing '$name' in $meta")
       }
+    val segments = field("segments", default = 1)
+    val names = """"names":\[([^\]]*)\]""".r.findFirstMatchIn(meta) match {
+      case Some(m) => """"([^"]+)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      case None => (0 until segments).map(segmentName) // version-1 layout
+    }
     IndexMeta(field("version"), field("pt"), field("maxTokensInPattern"),
-      field("segments", default = 1))
+      names.size, names, field("next", default = segments))
   }
 
   private def requireConfigMatch(m: IndexMeta, cfg: DedupConfig, dir: String, what: String): Unit = {
-    require(m.version == indexMetaVersion,
-      s"index at $dir has meta version ${m.version}, this engine reads $indexMetaVersion")
+    require(m.version <= indexMetaVersion,
+      s"index at $dir has meta version ${m.version}, this engine reads <= $indexMetaVersion")
     require(m.pt == cfg.pt && m.maxTokensInPattern == cfg.maxTokensInPattern,
       s"index at $dir was built with pt=${m.pt} maxTokensInPattern=" +
         s"${m.maxTokensInPattern} but the $what config has pt=${cfg.pt} " +
@@ -620,8 +639,31 @@ object FuzzyRetrieval {
     val p = metaPathOf(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, false)
-    graft.data.TableIO.write(TokenizeStage(corpus, cfg).toDF(), segmentPath(dir, 0))
-    writeIndexMeta(spark, dir, cfg, segments = 1)
+    graft.data.TableIO.write(TokenizeStage(corpus, cfg).toDF(), s"$dir/${segmentName(0)}")
+    writeIndexMeta(spark, dir, cfg, names = Seq(segmentName(0)), next = 1)
+  }
+
+  /** Run `body` holding the index's single-writer lock (create-exclusive
+    * `index.lock`). Appends and compactions are mutually exclusive: two
+    * concurrent appenders would both read segments=k, write the SAME
+    * segment table (second overwrites first) and commit k+1 — one append's
+    * rows silently lost; a compaction racing an append could delete the
+    * append's in-flight segment dir. The second writer fails LOUDLY here
+    * instead. A writer killed hard (kill -9, no finally) leaves a stale
+    * lock that must be removed by hand — the error message says so; normal
+    * failures clean up in the finally. */
+  private def withIndexWriteLock[T](spark: org.apache.spark.sql.SparkSession,
+      dir: String)(body: => T): T = {
+    val fs = metaPathOf(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(dir, "index.lock")
+    val acquired =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    require(acquired,
+      s"index write lock held at $lock — another append/compaction on this index " +
+        "appears to be in progress (or a previous writer died hard without " +
+        "cleanup); wait for it to finish, or delete the lock file to force")
+    try body finally fs.delete(lock, false)
   }
 
   /** Incrementally add rows to an existing retrieval index — O(new rows)
@@ -638,20 +680,66 @@ object FuzzyRetrieval {
     * must match the existing index (same contract as [[loadIndex]]).
     * Duplicate clip_ids across appends are tolerated for retrieval
     * (reference TM semantics: both rows indexed, both can match).
-    * Operational note: every append adds one segment table; after many
-    * appends, compact by re-running [[saveIndex]] over the full corpus
-    * into a fresh dir (an in-place compaction would need a meta that names
-    * segments explicitly to stay crash-safe — not worth it while segment
-    * counts stay operational). */
+    * Operational note: every append adds one segment table; past an
+    * operational segment count, merge them with [[compactIndex]] (the
+    * streaming [[graft.streaming.StreamingDedup.indexIngest]] does this
+    * automatically past its threshold). */
   def appendIndex(newClips: Dataset[Clip], cfg: DedupConfig, dir: String): Unit = {
     val spark = newClips.sparkSession
-    val m = readIndexMeta(spark, dir)
-    requireConfigMatch(m, cfg, dir, "append")
-    require(graft.data.TableIO.exists(spark, segmentPath(dir, 0)),
-      s"index at $dir has no COMMITTED toks table — rebuild with saveIndex first")
-    graft.data.TableIO.write(TokenizeStage(newClips, cfg).toDF(),
-      segmentPath(dir, m.segments))
-    writeIndexMeta(spark, dir, cfg, segments = m.segments + 1)
+    withIndexWriteLock(spark, dir) {
+      val m = readIndexMeta(spark, dir)
+      requireConfigMatch(m, cfg, dir, "append")
+      require(m.names.forall(n => graft.data.TableIO.exists(spark, s"$dir/$n")),
+        s"index at $dir references segments with no COMMITTED table — rebuild " +
+          "with saveIndex first")
+      val name = segmentName(m.next)
+      graft.data.TableIO.write(TokenizeStage(newClips, cfg).toDF(), s"$dir/$name")
+      writeIndexMeta(spark, dir, cfg, names = m.names :+ name, next = m.next + 1)
+    }
+  }
+
+  /** Merge all committed segments into ONE — the remedy for unbounded
+    * segment growth under [[appendIndex]]/streaming ingest (1-minute
+    * micro-batches = 1,440 segments/day; [[loadIndex]] unions them all).
+    * Crash-safe ordering mirrors the append protocol: (1) write the merged
+    * table to a FRESH ordinal (never reused, so a crashed compaction's
+    * half-written dir can never be mistaken for live data), (2) commit the
+    * meta naming ONLY the merged segment (atomic rename — the commit
+    * point), (3) best-effort delete the superseded segment dirs (a crash
+    * here leaves ignored orphans, cleaned by the next compaction, which
+    * deletes every unreferenced `toks*` dir — safe because the write lock
+    * excludes in-flight appends). Readers racing a compaction see either
+    * the old meta (old segments still present — deletes happen after
+    * commit) or the new one. Returns true when a merge happened. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, cfg: DedupConfig,
+      dir: String): Boolean = {
+    withIndexWriteLock(spark, dir) {
+      val m = readIndexMeta(spark, dir)
+      requireConfigMatch(m, cfg, dir, "compact")
+      val fs = metaPathOf(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def sweep(keep: Set[String]): Unit =
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+          .map(_.getPath)
+          .filter(p => p.getName.matches("toks(_\\d+)?") && !keep.contains(p.getName))
+          .foreach(p => fs.delete(p, true))
+      if (m.names.size <= 1) {
+        // nothing to merge; still sweep orphans from earlier crashes
+        sweep(keep = m.names.toSet)
+        false
+      } else {
+        val merged = segmentName(m.next)
+        val parts = m.names.map { n =>
+          require(graft.data.TableIO.exists(spark, s"$dir/$n"),
+            s"index at $dir references segment $dir/$n with no COMMITTED table — " +
+              "rebuild with saveIndex / MatchCli action=index")
+          graft.data.TableIO.read(spark, s"$dir/$n")
+        }
+        graft.data.TableIO.write(parts.reduce(_.union(_)), s"$dir/$merged")
+        writeIndexMeta(spark, dir, cfg, names = Seq(merged), next = m.next + 1)
+        sweep(keep = Set(merged))
+        true
+      }
+    }
   }
 
   /** Load a prebuilt retrieval index, failing loudly when `dir` holds no
@@ -665,8 +753,8 @@ object FuzzyRetrieval {
     import spark.implicits._
     val m = readIndexMeta(spark, dir)
     requireConfigMatch(m, cfg, dir, "match")
-    val parts = (0 until m.segments).map { i =>
-      val seg = segmentPath(dir, i)
+    val parts = m.names.map { n =>
+      val seg = s"$dir/$n"
       require(graft.data.TableIO.exists(spark, seg),
         s"index at $dir references segment $seg with no COMMITTED table — the " +
           "index write did not complete; rebuild with saveIndex / MatchCli action=index")

@@ -46,6 +46,17 @@ object TokenizeStage {
 /** Stage 1b — batched MinHash signatures + SimHash fingerprints in one
   * narrow pass (the scale-path candidate generator's input). */
 object SignatureStage {
+  /** Signature of ONE tokenized row — the kernel of the distributed stage,
+    * also used where a caller needs signatures POSITIONALLY aligned with
+    * their token rows (StreamingDedup's band-index build collects
+    * (TokRow, SigRow) pairs in one pass so duplicate clip_ids stay
+    * distinct). */
+  def one(t: TokRow, k: Int, perms: Int, bands: Int, seed: Long): SigRow = {
+    val shingles = Hashing.distinctShingles(t.ids, k)
+    val sig = Hashing.minhash(shingles, perms, seed)
+    SigRow(t.clip_id, t.n_tokens, Hashing.bandHashes(sig, bands), Hashing.simhash(shingles))
+  }
+
   def apply(toks: Dataset[TokRow], cfg: DedupConfig): Dataset[SigRow] = {
     val spark = toks.sparkSession
     import spark.implicits._
@@ -53,12 +64,6 @@ object SignatureStage {
     val perms = cfg.minhashPerms
     val bands = cfg.minhashBands
     val seed = cfg.seed
-    toks.mapPartitions { it =>
-      it.map { t =>
-        val shingles = Hashing.distinctShingles(t.ids, k)
-        val sig = Hashing.minhash(shingles, perms, seed)
-        SigRow(t.clip_id, t.n_tokens, Hashing.bandHashes(sig, bands), Hashing.simhash(shingles))
-      }
-    }
+    toks.mapPartitions(it => it.map(t => one(t, k, perms, bands, seed)))
   }
 }

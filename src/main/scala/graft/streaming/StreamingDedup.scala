@@ -138,22 +138,28 @@ object StreamingDedup {
       s"corpus estimated at $estBytes tokenized bytes > broadcastMaxBytes " +
         s"${cfg.broadcastMaxBytes}: stream-static edge verification needs a " +
         "broadcastable corpus — run the batch FuzzyRetrieval.topkShuffle path instead")
-    val rows = corpusToks.collect()
-    val sigRows = SignatureStage(corpusToks, cfg).collect()
-    corpusToks.unpersist()
     val k = cfg.shingleK
     val perms = cfg.minhashPerms
     val bands = cfg.minhashBands
     val seed = cfg.seed
+    // ONE aligned distributed pass collecting (token row, signature) pairs:
+    // the band index is keyed by ROW POSITION, so duplicate clip_ids stay
+    // distinct index rows — both rows indexed, both can match (the TM
+    // semantics of the batch broadcast matcher; a clip_id-keyed map here
+    // would collapse duplicates and silently drop their edges)
+    val collected = corpusToks
+      .mapPartitions(it => it.map(t => (t, SignatureStage.one(t, k, perms, bands, seed))))
+      .collect()
+    corpusToks.unpersist()
+    val rows = collected.map(_._1)
     val bandDfCap = cfg.bandDfCap
     val bandMap = new java.util.HashMap[Long, Array[Int]](rows.length * 2)
     var capped = 0L
     locally {
-      val idxOf = new java.util.HashMap[String, Integer](rows.length * 2)
-      rows.indices.foreach(i => idxOf.put(rows(i).clip_id, i))
       val builder = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
-      sigRows.foreach { s =>
-        val i = idxOf.get(s.clip_id)
+      var i = 0
+      while (i < collected.length) {
+        val s = collected(i)._2
         var bd = 0
         while (bd < s.band_hashes.length) {
           val key = Hashing.mix64(s.band_hashes(bd) ^ (bd * 0x9e3779b97f4a7c15L))
@@ -162,6 +168,7 @@ object StreamingDedup {
           buf += i
           bd += 1
         }
+        i += 1
       }
       // hot-bucket valve, same discipline as every bucketed channel: a band
       // bucket above bandDfCap is dropped AND counted, never a linear scan
@@ -295,16 +302,29 @@ object StreamingDedup {
     * twice — duplicate ids are tolerated by retrieval (reference TM
     * semantics: both rows indexed, both can match), and exact dedup of the
     * stream itself belongs upstream ([[firstOccurrence]]). The index must
-    * already exist (saveIndex), so the config pin is enforced per batch. */
+    * already exist (saveIndex), so the config pin is enforced per batch.
+    * Long-running streams auto-compact: past `compactAfterSegments`
+    * committed segments the batch triggers
+    * [[graft.dedup.FuzzyRetrieval.compactIndex]] — without it a 1-minute
+    * batch interval grows 1,440 segments/day and `loadIndex` unions them
+    * all. Compaction work is O(index), so the threshold amortizes it to
+    * O(index/compactAfterSegments) per append on average. */
   def indexIngest(
       clips: Dataset[Clip],
       cfg: DedupConfig,
-      indexDir: String): org.apache.spark.sql.streaming.DataStreamWriter[Clip] =
+      indexDir: String,
+      compactAfterSegments: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[Clip] =
     clips.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Clip], _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.dedup.FuzzyRetrieval.appendIndex(batch, cfg, indexDir)
+          val m = graft.dedup.FuzzyRetrieval.readIndexMeta(batch.sparkSession, indexDir)
+          if (m.segments > compactAfterSegments) {
+            graft.dedup.FuzzyRetrieval.compactIndex(batch.sparkSession, cfg, indexDir)
+            ()
+          }
+        }
       }
 
   /** End-to-end streaming signature extraction from a parquet directory

@@ -32,7 +32,8 @@ import graft.dedup.{DedupConfig, DedupPipeline, FuzzyRetrieval}
 object MatchCli {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: MatchCli <corpus|index:DIR> <queries> <outDir|-> " +
-      "[threshold] [nmatch] [noPerfect] [broadcast|shuffle] [match|subseq|index|append|decon]")
+      "[threshold] [nmatch] [noPerfect] [broadcast|shuffle] " +
+      "[match|subseq|index|append|compact|decon]")
     val Array(corpusArg, queriesArg, outDir) = args.take(3)
     val threshold = if (args.length > 3) args(3).toFloat else 0.8f
     val nmatch = if (args.length > 4) args(4).toInt else 5
@@ -47,13 +48,16 @@ object MatchCli {
 
     val cfg = DedupConfig(threshold = threshold)
 
-    if (action == "index" || action == "append") {
-      require(outDir != "-", s"action=$action writes the index to <outDir>")
+    if (action == "index" || action == "append" || action == "compact") {
+      require(outDir != "-", s"action=$action takes the index dir as <outDir>")
       if (action == "index") FuzzyRetrieval.saveIndex(load(spark, corpusArg), cfg, outDir)
-      else FuzzyRetrieval.appendIndex(load(spark, corpusArg), cfg, outDir)
+      else if (action == "append") FuzzyRetrieval.appendIndex(load(spark, corpusArg), cfg, outDir)
+      else FuzzyRetrieval.compactIndex(spark, cfg, outDir)
       val n = FuzzyRetrieval.loadIndex(spark, outDir, cfg).count()
+      val segs = FuzzyRetrieval.readIndexMeta(spark, outDir).segments
       if (action == "index") println(s"INDEXED $n rows -> $outDir")
-      else println(s"APPENDED -> $outDir (index now $n rows)")
+      else if (action == "append") println(s"APPENDED -> $outDir (index now $n rows, $segs segment(s))")
+      else println(s"COMPACTED -> $outDir ($n rows, $segs segment(s))")
       spark.stop()
       return
     }
@@ -100,7 +104,7 @@ object MatchCli {
         sys.error(s"action subseq supports only the broadcast strategy (got '$other')")
       case (a, s) =>
         sys.error(s"unknown action/strategy '$a'/'$s' " +
-          "(use match|subseq|index|append|decon, broadcast|shuffle)")
+          "(use match|subseq|index|append|compact|decon, broadcast|shuffle)")
     }
 
     val persisted = results.persist()

@@ -134,15 +134,36 @@ class AnnLshShapeSpec extends AnyFunSuite {
       (math.min(a, b), math.max(a, b))
     }).toSet
     assert(exact.nonEmpty, "no exact pairs at the default threshold — vacuous fixture")
-    val got = PipelineQueries.qEmbedDupPairs(spark, dir).collect()
+    val got = PipelineQueries.qEmbedDupPairs(spark, dir, simThreshold = thresh).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert((got -- exact).isEmpty, s"false positives: ${(got -- exact).take(5)}")
     val recall = (got & exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"embed near-dup recall $recall (${(got & exact).size}/${exact.size})")
   }
 
+  test("negative vec_ids keep the numeric a_id < b_id orientation invariant") {
+    import spark.implicits._
+    // identical unit vectors collide in every band deterministically; the
+    // signed-decimal encode orders negatives lexicographically BACKWARD
+    // (-5 sorts before -7 numerically but "-…5" < "-…7" lexically), so this
+    // fixture breaks any formulation that trusts the string orientation
+    val u = Array(1f, 0f, 0f, 0f)
+    val v = Array(0f, 1f, 0f, 0f)
+    val tmp = java.nio.file.Files.createTempDirectory("ann-neg").toString
+    Seq((-7L, u), (-5L, u), (3L, u), (-1L, v))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/embeddings.parquet")
+    val got = PipelineQueries.qEmbedDupPairs(spark, tmp, simThreshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((-7L, -5L, 1.0), (-7L, 3L, 1.0), (-5L, 3L, 1.0)),
+      s"orientation or pair set wrong with negative ids: $got")
+  }
+
   test("annLsh physical plan: codegen bucket equi-join, no typed group kernel") {
-    val p = PipelineQueries.qAnnLsh(spark, dir).queryExecution.executedPlan.toString
+    // the lazy plan probe: production annLsh checkpoints the pair set (so
+    // its executed plan is a checkpoint scan) — the shape gate must look at
+    // the un-materialized formulation
+    val (df, release) = PipelineQueries.annLshPlan(spark, dir)
+    val p = try df.queryExecution.executedPlan.toString finally release()
     assert(!p.contains("FlatMapGroups") && !p.contains("MapGroups"),
       s"typed group kernel back in the annLsh hot path:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -58,9 +58,38 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("jaccard self-join is an equi-join on lang, not a cartesian product") {
-    val p = planOf(Queries.qJaccardPairs(spark, dir))
+    val (df, release) = Queries.jaccardPairs(spark, dir)
+    val p = try planOf(df) finally release()
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  // walk the physical tree, descending through AQE wrappers and query
+  // stages but treating a cache scan as a LEAF (its cached plan is the
+  // one-time materialization, not per-read work)
+  private def treeNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: treeNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: treeNodes(q.plan)
+    case other => p +: other.children.flatMap(treeNodes)
+  }
+
+  test("jaccard shingle entries are cached: one tokenize+explode scan per invocation") {
+    val (df, release) = Queries.jaccardPairs(spark, dir)
+    try {
+      // every read of the exploded entry set (self-join sides + sizes agg)
+      // must come from the cache populated by the eager hot-key stats job —
+      // a plan that re-derives the entries from the parquet scan pays the
+      // dominant tokenize+explode map cost twice (the r4 verdict's wart #1)
+      val nodes = treeNodes(df.queryExecution.executedPlan)
+      assert(nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+        s"jaccard plan does not read the cached entries:\n${planOf(df).take(3000)}")
+      val raw = nodes.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      assert(raw.isEmpty,
+        s"jaccard plan re-scans parquet past the cache: $raw")
+    } finally release()
   }
 
   test("candidate pair generation is an equi-join on the bucket hash, never a nested loop") {
@@ -80,12 +109,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
   }
 
-  test("jaccard inverted index reuses one (lang, sh) exchange across agg, anti-join and self-join") {
-    val df = Queries.qJaccardPairs(spark, dir)
-    df.collect() // finalize the adaptive plan so reuse nodes materialize
-    val p = formatted(df)
-    assert(p.contains("ReusedExchange") || planOf(df).contains("ReusedExchange"),
-      s"no exchange reuse in the jaccard plan:\n${p.take(3000)}")
+  test("jaccard runs ONE (lang, sh) exchange total — inside the cache, none per read") {
+    val (df, release) = Queries.jaccardPairs(spark, dir)
+    try {
+      df.collect() // finalize the adaptive plan
+      // the wide exchange on the shingle column lives INSIDE the cached
+      // relation (executed once at materialization); the df-agg, anti-join
+      // and both self-join sides must consume the cache's hash partitioning
+      // rather than re-shuffling the entry set per read (the pre-r5
+      // ReusedExchange shape still wrote that shuffle once per ACTION)
+      val shingleExchanges = treeNodes(df.queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+            if s.outputPartitioning.toString.contains("sh#") => s
+      }
+      assert(shingleExchanges.isEmpty,
+        s"shingle entry set re-shuffled outside the cache: $shingleExchanges")
+    } finally release()
   }
 
   test("cross-table retrieval candidates are an equi-join on the bucket hash") {

@@ -126,6 +126,81 @@ class RetrievalIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("identical"), e.getMessage)
   }
 
+  test("compactIndex: N segments merge to one, match results identical, crash windows safe") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("retr-idx-compact").toString
+    FuzzyRetrieval.saveIndex(
+      Seq(Clip("1", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd")).toDS(), cfg, tmp)
+    FuzzyRetrieval.appendIndex(
+      Seq(Clip("9", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc ee")).toDS(), cfg, tmp)
+    FuzzyRetrieval.appendIndex(
+      Seq(Clip("10", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd ff")).toDS(), cfg, tmp)
+    val queries = Seq(Clip("q", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd")).toDS()
+    def results() = rows(
+      FuzzyRetrieval.topkIndexed(queries, FuzzyRetrieval.loadIndex(spark, tmp, cfg), cfg, 5))
+    val before = results()
+    assert(before.map(_._3) == Set("1", "9", "10"))
+    assert(FuzzyRetrieval.readIndexMeta(spark, tmp).segments == 3)
+
+    // crash window 1: a compaction killed AFTER writing its merged segment
+    // but BEFORE the meta commit leaves an orphan at the next ordinal —
+    // readers ignore it, and the real compaction overwrites it
+    Seq(Clip("99", Array.emptyByteArray, 16000, 0, "pcm_s16le", "zz zz")).toDS()
+      .toDF().write.parquet(s"$tmp/toks_3")
+    assert(results() == before, "uncommitted merged segment leaked into match results")
+
+    assert(FuzzyRetrieval.compactIndex(spark, cfg, tmp))
+    val m = FuzzyRetrieval.readIndexMeta(spark, tmp)
+    assert(m.segments == 1, s"compaction left ${m.segments} segments")
+    assert(results() == before, "compaction changed match results")
+    // crash window 2 equivalent: superseded segment dirs were swept (only
+    // the merged segment remains on disk)
+    val segDirs = new java.io.File(tmp).listFiles().map(_.getName)
+      .filter(_.matches("toks(_\\d+)?")).toSet
+    assert(segDirs == m.names.toSet, s"superseded segments not swept: $segDirs vs ${m.names}")
+
+    // compaction of a single-segment index is a no-op that still sweeps
+    // orphans from earlier crashes
+    Seq(Clip("98", Array.emptyByteArray, 16000, 0, "pcm_s16le", "yy yy")).toDS()
+      .toDF().write.parquet(s"$tmp/toks_99")
+    assert(!FuzzyRetrieval.compactIndex(spark, cfg, tmp))
+    assert(!new java.io.File(s"$tmp/toks_99").exists(), "no-op compaction left the orphan")
+    assert(results() == before)
+
+    // appends keep working after compaction (fresh ordinal, never reused)
+    FuzzyRetrieval.appendIndex(
+      Seq(Clip("11", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd gg")).toDS(),
+      cfg, tmp)
+    assert(results().map(_._3) == Set("1", "9", "10", "11"))
+  }
+
+  test("concurrent append is rejected loudly (single-writer lock), never silently lost") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("retr-idx-lock").toString
+    val base = Seq(Clip("1", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd"))
+    FuzzyRetrieval.saveIndex(base.toDS(), cfg, tmp)
+    val extra = Seq(Clip("9", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc ee")).toDS()
+    // simulate a concurrent appender holding the lock
+    assert(new java.io.File(tmp, "index.lock").createNewFile())
+    val e = intercept[IllegalArgumentException] { FuzzyRetrieval.appendIndex(extra, cfg, tmp) }
+    assert(e.getMessage.contains("index.lock"), e.getMessage)
+    // the index is untouched by the refused append
+    val queries = Seq(Clip("q", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd")).toDS()
+    def matchIds() = rows(
+      FuzzyRetrieval.topkIndexed(queries, FuzzyRetrieval.loadIndex(spark, tmp, cfg), cfg, 5))
+      .map(_._3)
+    assert(matchIds() == Set("1"))
+    // lock released (the documented manual remedy for a writer killed hard)
+    assert(new java.io.File(tmp, "index.lock").delete())
+    FuzzyRetrieval.appendIndex(extra, cfg, tmp)
+    assert(matchIds() == Set("1", "9"))
+    // the successful append removed its own lock: a follow-up append works
+    FuzzyRetrieval.appendIndex(
+      Seq(Clip("10", Array.emptyByteArray, 16000, 0, "pcm_s16le", "aa bb cc dd ff")).toDS(),
+      cfg, tmp)
+    assert(matchIds() == Set("1", "9", "10"))
+  }
+
   test("loadIndex rejects an UNCOMMITTED index (meta present, toks table not committed)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("retr-idx-part").toString

@@ -147,6 +147,30 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(!streamed.exists(_._1 == "s2"))
   }
 
+  test("duplicate corpus clip_ids both stay in the stream-static band index (TM semantics)") {
+    import spark.implicits._
+    def clip(id: String, text: String) =
+      graft.data.Clip(id, Array.emptyByteArray, 16000, 0, "pcm_s16le", text)
+    val words = (0 until 20).map(i => "w" + ("abcdefghijklmnopqrst" * 2)(i).toString * 3)
+    // same clip_id used TWICE with DIFFERENT transcripts: both rows are
+    // legitimate index rows (reference TM semantics — both indexed, both
+    // can match); a clip_id-keyed index map would collapse them to one and
+    // silently drop the other row's edge (r4 advice)
+    val corpus = Seq(
+      clip("dup", words.mkString(" ")),
+      clip("dup", (words.dropRight(1) :+ "xx").mkString(" "))).toDS()
+    val probe = Seq(clip("s1", words.mkString(" "))).toDS()
+    val ecfg = DedupConfig(threshold = 0.8f)
+    val edges = StreamingDedup.edgesAgainstCorpus(probe, corpus, ecfg)
+      .collect().map(e => (e.b, e.score)).toSet
+    assert(edges.size == 2, s"one of the duplicate-id corpus rows lost: $edges")
+    assert(edges.contains(("dup", 1.0)), edges.toString)
+    // equal to the batch broadcast matcher, which indexes both rows
+    val batch = graft.dedup.FuzzyRetrieval.topk(probe, corpus, ecfg, numberOfMatches = 0)
+      .collect().map(r => (r.s_id, r.score)).toSet
+    assert(edges == batch, s"stream=$edges batch=$batch")
+  }
+
   test("streaming index ingest: micro-batches append committed segments, match sees them") {
     import spark.implicits._
     def clip(id: String, text: String) =
@@ -161,8 +185,10 @@ class StreamingDedupSpec extends AnyFunSuite {
     Seq(clip("s1", "aa bb cc ee")).toDS().write.mode("overwrite").parquet(inDir)
     val stream = spark.readStream.schema(StreamingDedup.clipSchema).parquet(inDir)
       .as[graft.data.Clip]
+    // compactAfterSegments=2: the second micro-batch pushes the index past
+    // the threshold (base + s1 + s2 = 3 segments), so ingest auto-compacts
     def runLeg(): Unit = {
-      val q = StreamingDedup.indexIngest(stream, icfg, idxDir)
+      val q = StreamingDedup.indexIngest(stream, icfg, idxDir, compactAfterSegments = 2)
         .option("checkpointLocation", ckpt).start()
       q.processAllAvailable()
       q.stop()
@@ -173,6 +199,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     val indexed = graft.dedup.FuzzyRetrieval.loadIndex(spark, idxDir, icfg)
       .collect().map(_.clip_id).toSet
     assert(indexed == Set("base", "s1", "s2"), s"streamed rows missing from index: $indexed")
+    assert(graft.dedup.FuzzyRetrieval.readIndexMeta(spark, idxDir).segments == 1,
+      "streaming ingest did not auto-compact past the segment threshold")
     // and a match job sees them (0.7: s1 'aa bb cc ee' scores 0.75 vs the query)
     val queries = Seq(clip("q", "aa bb cc dd")).toDS()
     val ids = graft.dedup.FuzzyRetrieval.topkIndexed(queries,
