@@ -433,6 +433,55 @@ object CandidateStage {
     crossBucketJoinPairs(qEntries, cEntries, cfg.bandDfCap, cappedBuckets)
   }
 
+  /** Cross-table CONTAINMENT gram channel — the candidate generator for
+    * beyond-memory subsequence retrieval (J4,
+    * /root/reference/src/fuzzy_match.cc:250-365) and containment
+    * decontamination: queries join corpus rows sharing ANY g-gram,
+    * g = min(shingleK, max(1, minSubseqLength)). Soundness: every
+    * admissible host contains a contiguous run of ≥ the query's clamped
+    * minimum msl, and msl ≥ minSubseqLength ≥ g, so host and query share a
+    * g-gram — recall is exact up to the hot-gram cap (dropped buckets
+    * COUNTED; `cap` should sit well above the dedup shingle cap, because a
+    * capped gram here can drop a containment host no other channel
+    * recovers). NO P5 length window: containment is length-asymmetric — a
+    * 6-token probe legitimately matches a 300-token host. Queries shorter
+    * than their own clamped minimum emit nothing (the kernel returns None
+    * for them). */
+  def crossContainmentGramChannel(
+      qToks: Dataset[TokRow],
+      cToks: Dataset[TokRow],
+      cfg: DedupConfig,
+      cap: Int,
+      cappedBuckets: LongAccumulator): Dataset[CandPair] = {
+    val spark = qToks.sparkSession
+    import spark.implicits._
+    val g = math.min(cfg.shingleK, math.max(1, cfg.minSubseqLength))
+    val msl0 = cfg.minSubseqLength
+    val ratio = cfg.minSubseqRatio
+    val qEntries = qToks
+      .filter { t =>
+        var msl = msl0
+        if ((ratio * t.n_tokens).toInt > msl) msl = (ratio * t.n_tokens).toInt
+        t.n_tokens >= msl && t.n_tokens >= g
+      }
+      // [1, MaxValue] disables the window entirely — hosts may even exceed
+      // maxTokensInPattern (decontamination tokenizes its corpus unfiltered)
+      .flatMap(t => Hashing.distinctShingles(t.ids, g).iterator
+        .map(h => QueryEntry(h, t.clip_id, t.n_tokens, 1, Int.MaxValue)))
+    val cEntries = cToks
+      .filter(_.n_tokens >= g)
+      .flatMap(t => Hashing.distinctShingles(t.ids, g).iterator
+        .map(h => BucketEntry(h, t.clip_id, t.n_tokens, 0)))
+    // deduplicated like CandidateStage.cross: a pair sharing m grams must
+    // reach the verify group ONCE — duplicate group members would consume
+    // the J4 kernel's numberOfMatches scan budget and change which
+    // candidates get verified (observed: self-matches lost behind
+    // double-counted siblings)
+    crossBucketJoinPairs(qEntries, cEntries, cap, cappedBuckets)
+      .dropDuplicates("p", "c")
+      .as[CandPair]
+  }
+
   /** Cross-table channel C: tiny queries (< k tokens). A tiny pattern's
     * clamped min-subsequence equals its own length, so its candidates must
     * contain the FULL query token sequence contiguously — broadcast the

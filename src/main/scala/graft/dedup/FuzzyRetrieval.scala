@@ -425,6 +425,129 @@ object FuzzyRetrieval {
     }
   }
 
+  /** Beyond-memory best-subsequence retrieval — [[subsequence]] for a
+    * CORPUS past the broadcast envelope. The reference's secondary query
+    * has no beyond-memory formulation at all (its global in-RAM index is
+    * the only one, /root/reference/src/fuzzy_match.cc:250-365); here
+    * candidates come from the containment g-gram channel
+    * ([[CandidateStage.crossContainmentGramChannel]] — an equi-join on
+    * shared g-grams, g = min(shingleK, minSubseqLength); every host of an
+    * admissible subsequence shares one, so candidate recall is exact up to
+    * the hot-gram cap, which is COUNTED via `cappedGramBuckets` and
+    * defaults well above the dedup shingle cap), then each query's
+    * candidate group runs the EXACT reference J4 kernel
+    * ([[Matcher.subsequence]]) over a per-group suffix-array index: same
+    * subsequence priority queue, same equal-range probe (the group holds
+    * every corpus row sharing the probed gram, so ranges match the global
+    * index's), same first-verified-winner semantics. IDF (with the -1
+    * corpus-unknown-word sentinel) comes from the distributed
+    * doc-frequency join — never a broadcast vocabulary. Result ties (equal
+    * DP cost at the winning subsequence) break by clip_id order here vs
+    * corpus insertion order in the broadcast path — the [[topkShuffle]]
+    * rank-tie caveat. Eager: the result (≤ 1 row per query) is
+    * materialized and every internal cache released before returning. */
+  def subsequenceShuffle(
+      queries: Dataset[Clip],
+      corpus: Dataset[Clip],
+      cfg: DedupConfig,
+      numberOfMatches: Int = 5,
+      noPerfect: Boolean = false,
+      idfWeighting: Boolean = false,
+      gramDfCap: Int = 1024,
+      cappedGramBuckets: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[SubseqRow] =
+    subsequenceShuffleIndexed(queries, TokenizeStage(corpus, cfg), cfg, numberOfMatches,
+      noPerfect, idfWeighting, gramDfCap, cappedGramBuckets)
+
+  /** [[subsequenceShuffle]] against a PREBUILT tokenized index — see
+    * [[topkIndexed]]. */
+  def subsequenceShuffleIndexed(
+      queries: Dataset[Clip],
+      corpusToks: Dataset[TokRow],
+      cfg: DedupConfig,
+      numberOfMatches: Int = 5,
+      noPerfect: Boolean = false,
+      idfWeighting: Boolean = false,
+      gramDfCap: Int = 1024,
+      cappedGramBuckets: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[SubseqRow] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+
+    val cTokCallerCached =
+      corpusToks.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cToks = if (cTokCallerCached) corpusToks else corpusToks.persist()
+    // the kernel has no pattern-length cap (P3/P4 are match-side filters),
+    // so the query side tokenizes WITHOUT the max-length drop
+    val qToks = TokenizeStage(queries, cfg, enforceMax = false).persist()
+    val acc = cappedGramBuckets.getOrElse(
+      spark.sparkContext.longAccumulator("subseqCappedGramBuckets"))
+    val cands = CandidateStage
+      .crossContainmentGramChannel(qToks, cToks, cfg, gramDfCap, acc)
+      .persist()
+
+    val n = cToks.count()
+    val patternIds = cands.select("p").distinct()
+    val patternToks = qToks
+      .join(patternIds, qToks("clip_id") === patternIds("p"), "left_semi")
+      .as[TokRow]
+    // idf always computed: the -1 sentinel marks corpus-unknown query words
+    // as subsequence breakers (fuzzy_match.cc:281-291)
+    val vectors = VerifyStage.idfVectors(patternToks, cToks, n, unknownIdf = -1f)
+    // queries carry their TRANSCRIPT into the cogroup: the F8 surface
+    // detokenization needs the raw spacing, which TokRow does not hold —
+    // the per-group re-tokenize is the same narrow CPU the broadcast path
+    // spends per query
+    val pats = queries.map(c => (c.clip_id, c.transcript)).toDF("qid", "transcript")
+      .join(vectors.toDF("vid", "idf"), col("qid") === col("vid"))
+      .select(col("qid"), col("transcript"), col("idf"))
+      .as[(String, String, Array[Float])]
+    val candToks = cands
+      .joinWith(cToks, cands("c") === cToks("clip_id"))
+      .map { case (cp, t) => CandTok(cp.p, t) }
+
+    val pt = cfg.pt
+    val nom = numberOfMatches
+    val noPerf = noPerfect
+    val msl0 = cfg.minSubseqLength
+    val ratio = cfg.minSubseqRatio
+    val idfW = idfWeighting
+    val out = pats.groupByKey(_._1).cogroup(candToks.groupByKey(_.p)) { (qid, pIt, cIt) =>
+      if (!pIt.hasNext) Iterator.empty
+      else {
+        val (_, transcript, idf) = pIt.next()
+        if (pIt.hasNext)
+          throw new IllegalStateException(
+            s"duplicate clip_id '$qid' in the query table — clip ids must be unique")
+        val candRows = cIt.map(_.t).toArray
+        if (candRows.isEmpty) Iterator.empty
+        else {
+          // deterministic group order (the broadcast path's corpus
+          // insertion order is not recoverable here — the tie caveat above)
+          java.util.Arrays.sort(candRows, Ordering.by((t: TokRow) => t.clip_id))
+          val index = new graft.kernel.SuffixIndex
+          val docs = new Array[Doc](candRows.length)
+          var i = 0
+          while (i < candRows.length) {
+            index.add(candRows(i).ids)
+            docs(i) = Doc(candRows(i).ids, candRows(i).reals, candRows(i).itoks)
+            i += 1
+          }
+          val ts = Tokenizer.tokenize(transcript, pt)
+          val pattern = Doc(Hashing.tokenIds(ts.norm), ts.real, ts.itoks)
+          Matcher.subsequence(index, docs, pattern, nom, noPerf, msl0, ratio, idfW, idf)
+            .map { case (m, pos, len) =>
+              SubseqRow(qid, candRows(m.sIdx).clip_id, m.score, m.maxSubseq,
+                ts.detokenize(pos, len))
+            }.iterator
+        }
+      }
+    }.localCheckpoint() // result-sized (≤ 1 row per query); then release
+    qToks.unpersist()
+    cands.unpersist()
+    if (!cTokCallerCached) cToks.unpersist()
+    out
+  }
+
   /** Decontamination — the training-data hygiene operator built directly on
     * the broadcast retrieval path: drop every corpus row whose transcript
     * fuzzy-matches ANY row of the (small) eval/benchmark table at
@@ -532,6 +655,121 @@ object FuzzyRetrieval {
         val ids = flaggedIds.as[String].collect().toSeq
         flaggedIds.unpersist()
         bc.destroy()
+        org.apache.spark.sql.functions.broadcast(ids.toDF("flagged_id"))
+      } else flaggedIds
+
+    val clean = corpus
+      .join(flaggedRef, corpus("clip_id") === flaggedRef("flagged_id"), "left_anti")
+      .as[Clip]
+    val flagged = corpus
+      .join(flaggedRef, corpus("clip_id") === flaggedRef("flagged_id"), "left_semi")
+      .as[Clip]
+    (clean, flagged)
+  }
+
+  /** [[decontaminate]] for an EVAL SET past the broadcast envelope — the
+    * same hygiene contract with every stage distributed:
+    *
+    *  - the fuzzy probe composes the cross-table candidate channels + the
+    *    cogroup verify ([[topkShuffleIndexed]] with patterns = corpus rows,
+    *    index = eval rows, numberOfMatches = 1 — any edge ≥ threshold
+    *    flags);
+    *  - the containment probe (`alsoContained`) joins each eval row's
+    *    leading 2-gram against the corpus's exploded 2-gram positions
+    *    (2 = the containment minimum — eval rows must have ≥ 2 tokens, as
+    *    in the broadcast path) and verifies FULL-sequence containment per
+    *    surviving pair — a superset candidate channel verified exactly, so
+    *    the flagged set matches the broadcast J2-sweep semantics;
+    *  - loudness: eval rows dropped by the tokenize filters FAIL the call;
+    *    corpus rows beyond `maxTokensInPattern` are skipped by the fuzzy DP
+    *    (P4) and counted in `fuzzySkippedOverLength`, but their containment
+    *    probe STILL runs (the corpus tokenizes unfiltered on that channel).
+    *
+    * Hot 2-gram buckets are capped at `containmentGramDfCap` AND counted
+    * (`cappedContainmentBuckets`) — a dropped bucket can hide a
+    * contaminated host, so the cap defaults high and the count must be
+    * checked like every valve in this engine. */
+  def decontaminateShuffle(
+      corpus: Dataset[Clip],
+      evalSet: Dataset[Clip],
+      cfg: DedupConfig,
+      alsoContained: Boolean = false,
+      fuzzySkippedOverLength: Option[org.apache.spark.util.LongAccumulator] = None,
+      containmentGramDfCap: Int = 65536,
+      cappedContainmentBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+      : (Dataset[Clip], Dataset[Clip]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+
+    val nEval = evalSet.count()
+    val evalToks = TokenizeStage(evalSet, cfg).persist()
+    val nEvalToks = evalToks.count()
+    require(nEvalToks == nEval,
+      s"${nEval - nEvalToks} of $nEval eval rows were dropped by the tokenize " +
+        s"filters (empty transcript, or > maxTokensInPattern=${cfg.maxTokensInPattern} " +
+        "tokens) — decontamination must not silently unprotect benchmark rows; raise " +
+        "cfg.maxTokensInPattern or clean the eval table first")
+
+    // fuzzy probe: corpus rows as patterns against the eval index — any
+    // above-threshold match flags (numberOfMatches = 1)
+    val fuzzyIds = topkShuffleIndexed(corpus, evalToks, cfg, numberOfMatches = 1)
+      .select(col("query_id").as("flagged_id")).distinct()
+
+    val maxTok = cfg.maxTokensInPattern
+    if (!alsoContained)
+      fuzzySkippedOverLength.foreach(_.add(
+        TokenizeStage(corpus, cfg, enforceMax = false).filter(_.n_tokens > maxTok).count()))
+    val containedIds =
+      if (!alsoContained) spark.emptyDataset[String].toDF("flagged_id")
+      else {
+        val cNoMax = TokenizeStage(corpus, cfg, enforceMax = false).persist()
+        fuzzySkippedOverLength.foreach(_.add(cNoMax.filter(_.n_tokens > maxTok).count()))
+        val gc = 2
+        val acc = cappedContainmentBuckets.getOrElse(
+          spark.sparkContext.longAccumulator("deconCappedContainmentBuckets"))
+        val evalE = evalToks.filter(_.n_tokens >= gc)
+          .map(t => CandidateStage.QueryEntry(
+            Hashing.shingleHash(t.ids, 0, gc), t.clip_id, t.n_tokens, 1, Int.MaxValue))
+        val hostE = cNoMax.filter(_.n_tokens >= gc).flatMap { t =>
+          val seen = new java.util.HashSet[Long]()
+          val out = new scala.collection.mutable.ArrayBuffer[CandidateStage.BucketEntry]
+          var p = 0
+          while (p + gc <= t.n_tokens) {
+            val h = Hashing.shingleHash(t.ids, p, gc)
+            if (seen.add(h)) out += CandidateStage.BucketEntry(h, t.clip_id, t.n_tokens, 0)
+            p += 1
+          }
+          out.iterator
+        }
+        val pairs = CandidateStage
+          .crossBucketJoinPairs(evalE, hostE, containmentGramDfCap, acc)
+          .dropDuplicates("p", "c").as[CandPair]
+        val withEval = pairs
+          .joinWith(evalToks, pairs("p") === evalToks("clip_id"))
+          .map { case (cp, e) => (cp.c, e.ids) }
+        val flagged = withEval
+          .joinWith(cNoMax, withEval("_1") === cNoMax("clip_id"))
+          .flatMap { case ((_, eIds), h) =>
+            if (CandidateStage.containsSubsequence(h.ids, eIds)) Iterator.single(h.clip_id)
+            else Iterator.empty
+          }
+          .distinct().toDF("flagged_id")
+          // materialize (small: contaminated hosts only) so cNoMax releases
+          .localCheckpoint()
+        cNoMax.unpersist()
+        flagged
+      }
+
+    val flaggedIds = fuzzyIds.union(containedIds).distinct().persist()
+    val nFlagged = flaggedIds.count()
+    evalToks.unpersist()
+    // same bounded-collect escape as the broadcast path: swap the joins
+    // onto a broadcast local relation when the flagged set is small
+    val flaggedRef =
+      if (nFlagged <= 1000000L) {
+        val ids = flaggedIds.as[String].collect().toSeq
+        flaggedIds.unpersist()
         org.apache.spark.sql.functions.broadcast(ids.toDF("flagged_id"))
       } else flaggedIds
 

@@ -27,11 +27,16 @@ final case class SigRow(
   * (/root/reference/src/fuzzy_match.cc:108-193,213-224;
   * /root/reference/src/suffix_array_index.cc:16). */
 object TokenizeStage {
-  def apply(clips: Dataset[Clip], cfg: DedupConfig): Dataset[TokRow] = {
+  /** `enforceMax = false` keeps rows beyond `maxTokensInPattern` (P3 is an
+    * INDEX-side insert filter; probe surfaces without a pattern-length cap
+    * — the subsequence kernel, containment decontamination — must still see
+    * long rows). The empty filter (P2) always applies. */
+  def apply(clips: Dataset[Clip], cfg: DedupConfig,
+      enforceMax: Boolean = true): Dataset[TokRow] = {
     val spark = clips.sparkSession
     import spark.implicits._
     val pt = cfg.pt
-    val maxTok = cfg.maxTokensInPattern
+    val maxTok = if (enforceMax) cfg.maxTokensInPattern else Int.MaxValue
     clips.mapPartitions { it =>
       it.flatMap { c =>
         val ts = Tokenizer.tokenize(c.transcript, pt)

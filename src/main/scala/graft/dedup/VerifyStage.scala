@@ -105,36 +105,55 @@ object VerifyStage {
         (0 until salts).iterator.map(s => PatTok(t.clip_id + "#" + s, t, Array.emptyFloatArray))
       }
     else {
-      val dfTab: Dataset[(Long, Long)] = dfSource
-        .flatMap { t =>
-          val seen = new java.util.HashSet[java.lang.Long]()
-          t.ids.iterator.filter(id => seen.add(id)).map(id => (id, 1L))
-        }
-        .groupByKey(_._1)
-        .reduceGroups((a, b) => (a._1, a._2 + b._2))
-        .map(_._2)
-      val exploded: Dataset[(String, Int, Long)] =
-        patternToks.flatMap(t => t.ids.iterator.zipWithIndex.map { case (id, pos) => (t.clip_id, pos, id) })
-      val n = corpusSize
-      val withIdf: Dataset[(String, Int, Float)] = exploded
-        .joinWith(dfTab, exploded("_3") === dfTab("_1"), "left_outer")
-        .map { case ((cid, pos, _), dfRow) =>
-          // float division then log, matching the oracle's idfPenalty
-          // (oracle/FuzzyMatcher.scala — math.log(n / sfreq.toFloat))
-          val v =
-            if (dfRow == null) 0f
-            else math.log((n.toFloat / dfRow._2.toFloat).toDouble).toFloat
-          (cid, pos, v)
-        }
-      val vectors = withIdf.groupByKey(_._1).mapGroups { (cid, it) =>
-        val entries = it.toArray
-        java.util.Arrays.sort(entries, Ordering.by((e: (String, Int, Float)) => e._2))
-        (cid, entries.map(_._3))
-      }
+      val vectors = idfVectors(patternToks, dfSource, corpusSize, unknownIdf = 0f)
       patternToks.joinWith(vectors, patternToks("clip_id") === vectors("_1"))
         .flatMap { case (t, (_, v)) =>
           (0 until salts).iterator.map(s => PatTok(t.clip_id + "#" + s, t, v))
         }
+    }
+  }
+
+  /** Per-pattern IDF vectors (A4) as a token-keyed join — never a broadcast
+    * dictionary (vocab is unbounded at 10^12 rows): doc-freq table (A3)
+    * over `dfSource` ⋈ exploded pattern positions → position-ordered
+    * vector. `unknownIdf` is the value for pattern tokens ABSENT from
+    * `dfSource`: 0 for match queries (the reference's unknown-word default,
+    * fuzzy_match.cc:367-390), -1 for the subsequence probe (the sentinel
+    * marking corpus-unknown words as subsequence breakers,
+    * fuzzy_match.cc:281-291). */
+  private[graft] def idfVectors(
+      patternToks: Dataset[TokRow],
+      dfSource: Dataset[TokRow],
+      corpusSize: Long,
+      unknownIdf: Float): Dataset[(String, Array[Float])] = {
+    val spark = patternToks.sparkSession
+    import spark.implicits._
+    val dfTab: Dataset[(Long, Long)] = dfSource
+      .flatMap { t =>
+        val seen = new java.util.HashSet[java.lang.Long]()
+        t.ids.iterator.filter(id => seen.add(id)).map(id => (id, 1L))
+      }
+      .groupByKey(_._1)
+      .reduceGroups((a, b) => (a._1, a._2 + b._2))
+      .map(_._2)
+    val exploded: Dataset[(String, Int, Long)] =
+      patternToks.flatMap(t => t.ids.iterator.zipWithIndex.map { case (id, pos) => (t.clip_id, pos, id) })
+    val n = corpusSize
+    val unk = unknownIdf
+    val withIdf: Dataset[(String, Int, Float)] = exploded
+      .joinWith(dfTab, exploded("_3") === dfTab("_1"), "left_outer")
+      .map { case ((cid, pos, _), dfRow) =>
+        // float division then log, matching the oracle's idfPenalty
+        // (oracle/FuzzyMatcher.scala — math.log(n / sfreq.toFloat))
+        val v =
+          if (dfRow == null) unk
+          else math.log((n.toFloat / dfRow._2.toFloat).toDouble).toFloat
+        (cid, pos, v)
+      }
+    withIdf.groupByKey(_._1).mapGroups { (cid, it) =>
+      val entries = it.toArray
+      java.util.Arrays.sort(entries, Ordering.by((e: (String, Int, Float)) => e._2))
+      (cid, entries.map(_._3))
     }
   }
 

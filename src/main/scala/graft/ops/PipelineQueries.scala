@@ -460,6 +460,19 @@ object PipelineQueries {
         col("max_subseq").cast("bigint").as("max_subseq"), col("subseq_surface"))
   }
 
+  /** The beyond-memory variant of q_subseq_retrieval: same 50 queries, same
+    * J4 semantics — candidates from the containment g-gram equi-join,
+    * verification in the per-query cogroup kernel (the 10^12-row corpus
+    * shape; the reference's own subseq query has no beyond-memory path). */
+  def qSubseqRetrievalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = documentsAsClips(spark, dir)
+    val queries = corpus.filter(col("clip_id").cast("long") < 50)
+    FuzzyRetrieval.subsequenceShuffle(queries, corpus, DedupConfig(), numberOfMatches = 5)
+      .toDF()
+      .select(col("query_id"), col("s_id"), round(col("score"), 4).as("score"),
+        col("max_subseq").cast("bigint").as("max_subseq"), col("subseq_surface"))
+  }
+
   /** Eval-set decontamination over documents-as-clips: the 20 lowest-id
     * documents are the "benchmark" set; emit every corpus row flagged as a
     * fuzzy near-dup of — or verbatim container of — any of them. The eval
@@ -469,6 +482,18 @@ object PipelineQueries {
     val corpus = documentsAsClips(spark, dir)
     val evalSet = corpus.filter(col("clip_id").cast("long") < 20)
     val (_, flagged) = FuzzyRetrieval.decontaminate(
+      corpus, evalSet, DedupConfig(threshold = 0.8f), alsoContained = true)
+    flagged.toDF().select(col("clip_id"), col("transcript"))
+  }
+
+  /** The beyond-broadcast variant of q_decontaminate: same eval set, same
+    * hygiene semantics — fuzzy probe through the cross-table shuffle
+    * channels, containment through the 2-gram equi-join (the path for an
+    * eval set past the executor-memory envelope). */
+  def qDecontaminateShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = documentsAsClips(spark, dir)
+    val evalSet = corpus.filter(col("clip_id").cast("long") < 20)
+    val (_, flagged) = FuzzyRetrieval.decontaminateShuffle(
       corpus, evalSet, DedupConfig(threshold = 0.8f), alsoContained = true)
     flagged.toDF().select(col("clip_id"), col("transcript"))
   }
@@ -504,6 +529,7 @@ object PipelineQueries {
     "q_fuzzy_topk" -> (qFuzzyTopk _),
     "q_fuzzy_topk_shuffle" -> (qFuzzyTopkShuffle _),
     "q_subseq_retrieval" -> (qSubseqRetrieval _),
+    "q_subseq_retrieval_shuffle" -> (qSubseqRetrievalShuffle _),
     "q_minhash_sigs" -> (qMinhashSigs _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -513,6 +539,7 @@ object PipelineQueries {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_audio_dup_pairs" -> (qAudioDupPairs _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_shuffle" -> (qDecontaminateShuffle _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_dedup_survivors_medoid" -> (qDedupSurvivorsMedoid _),

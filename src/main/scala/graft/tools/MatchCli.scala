@@ -21,8 +21,9 @@ import graft.dedup.{DedupConfig, DedupPipeline, FuzzyRetrieval}
   * TokenizeStage entirely. `outDir` `-` prints the first rows instead of
   * writing. Emits the reference's `NMATCH nonempty/total` counter line
   * (FuzzyMatch-cli.cc:452-458). `action=subseq` runs the best-subsequence
-  * retrieval (`-a subseq`, broadcast index only) and emits one row per
-  * query with the detokenized matched span. `action=index` tokenizes
+  * retrieval (`-a subseq`, both strategies — shuffle for a beyond-memory
+  * corpus) and emits one row per query with the detokenized matched span.
+  * `action=index` tokenizes
   * `corpus` and writes the index to `outDir` (queries arg ignored, pass `-`).
   * `action=decon` runs eval-set decontamination: `queries` is the
   * eval/benchmark table, `corpus` the training corpus; writes the CLEAN
@@ -69,8 +70,15 @@ object MatchCli {
       val nTotal = trainCorpus.count()
       val evalSet = load(spark, queriesArg)
       val skipped = spark.sparkContext.longAccumulator("deconFuzzySkippedOverLength")
-      val (clean, flagged) = FuzzyRetrieval.decontaminate(trainCorpus, evalSet, cfg,
-        alsoContained = true, fuzzySkippedOverLength = Some(skipped))
+      // broadcast: eval set inside the executor-memory envelope (the common
+      // case — benchmarks are small); shuffle: the beyond-broadcast path
+      val (clean, flagged) =
+        if (strategy == "shuffle")
+          FuzzyRetrieval.decontaminateShuffle(trainCorpus, evalSet, cfg,
+            alsoContained = true, fuzzySkippedOverLength = Some(skipped))
+        else
+          FuzzyRetrieval.decontaminate(trainCorpus, evalSet, cfg,
+            alsoContained = true, fuzzySkippedOverLength = Some(skipped))
       val nFlagged = flagged.count()
       if (outDir == "-") {
         flagged.toDF().select("clip_id", "transcript")
@@ -100,8 +108,8 @@ object MatchCli {
         (FuzzyRetrieval.topkIndexed(queries, corpusToks, cfg, nmatch, noPerfect).toDF(), "rank")
       case ("subseq", "broadcast") =>
         (FuzzyRetrieval.subsequenceIndexed(queries, corpusToks, cfg, nmatch, noPerfect).toDF(), "s_id")
-      case ("subseq", other) =>
-        sys.error(s"action subseq supports only the broadcast strategy (got '$other')")
+      case ("subseq", "shuffle") =>
+        (FuzzyRetrieval.subsequenceShuffleIndexed(queries, corpusToks, cfg, nmatch, noPerfect).toDF(), "s_id")
       case (a, s) =>
         sys.error(s"unknown action/strategy '$a'/'$s' " +
           "(use match|subseq|index|append|compact|decon, broadcast|shuffle)")

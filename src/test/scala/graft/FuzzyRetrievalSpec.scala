@@ -177,6 +177,36 @@ class FuzzyRetrievalSpec extends AnyFunSuite {
     assert(got(0).subseq_surface == "aa bb cc dd")
   }
 
+  test("shuffle subsequence equals the broadcast path on the tm1 fixture") {
+    import spark.implicits._
+    // every corpus row as a query, plus the containment probe — covers the
+    // perfect self-match, the noPerfect=false first-winner semantics and
+    // the detokenized surface through the beyond-memory path
+    val queries = (clips(tm1, i => "q" + (i + 1)) ++
+      clips(Seq("zz aa bb cc dd zz"), _ => "qz")).toDS()
+    def key(r: graft.dedup.SubseqRow) =
+      (r.query_id, r.s_id, r.score, r.max_subseq, r.subseq_surface)
+    val c = cfg(0.5f)
+    val bc = FuzzyRetrieval.subsequence(queries, corpusDs, c, 5).collect().map(key).toSet
+    val sh = FuzzyRetrieval.subsequenceShuffle(queries, corpusDs, c, 5).collect().map(key).toSet
+    assert(bc.nonEmpty, "vacuous: broadcast subsequence returned nothing")
+    assert(sh == bc, s"missing=${(bc -- sh).take(5)} extra=${(sh -- bc).take(5)}")
+    assert(sh.exists(r => r._1 == "qz" && r._5 == "aa bb cc dd"),
+      s"containment probe surface missing: $sh")
+  }
+
+  test("shuffle subsequence equals the broadcast path on the synthetic corpus") {
+    val corpus = graft.data.SynthCorpus.generate(spark, 400)
+    val queries = corpus.filter(c => c.clip_id.stripPrefix("clip_").toLong % 5 == 0)
+    val c = DedupConfig()
+    def key(r: graft.dedup.SubseqRow) =
+      (r.query_id, r.s_id, r.score, r.max_subseq, r.subseq_surface)
+    val bc = FuzzyRetrieval.subsequence(queries, corpus, c, 5).collect().map(key).toSet
+    val sh = FuzzyRetrieval.subsequenceShuffle(queries, corpus, c, 5).collect().map(key).toSet
+    assert(bc.nonEmpty, "vacuous: broadcast subsequence returned nothing")
+    assert(sh == bc, s"missing=${(bc -- sh).take(5)} extra=${(sh -- bc).take(5)}")
+  }
+
   // ---- the beyond-memory (shuffle/LSH) path ----
 
   test("shuffle path equals broadcast path on the synthetic near-dup corpus (all matches)") {
@@ -345,6 +375,67 @@ class FuzzyRetrievalSpec extends AnyFunSuite {
     assert(skipped.value == 0) // none of these docs exceed the 300-token DP cap
   }
 
+  test("decontaminateShuffle equals the broadcast path, incl. past a forced-tiny envelope") {
+    import spark.implicits._
+    def clip(id: String, text: String) =
+      Clip(id, Array.emptyByteArray, 16000, 0, "pcm_s16le", text)
+    val evalWords = (0 until 12).map(i => "e" + ('a' + i).toChar.toString * 3)
+    val evalSet = Seq(
+      clip("ev1", evalWords.mkString(" ")),
+      clip("ev2", "qq ww ee rr tt yy")).toDS()
+    val filler = (0 until 60).map(i => "f" + ('a' + i % 20).toChar.toString * (2 + i / 20))
+    val corpus = Seq(
+      clip("t1", (evalWords.dropRight(1) :+ "zz").mkString(" ")), // near-dup of ev1
+      clip("long1", (filler.take(30) ++ Seq("qq", "ww", "ee", "rr", "tt", "yy")
+        ++ filler.drop(30)).mkString(" ")), // contains ev2 verbatim
+      clip("neg1", filler.mkString(" ")),
+      clip("neg2", filler.reverse.mkString(" "))).toDS()
+    val dcfg = DedupConfig(threshold = 0.8f)
+    def ids(r: (org.apache.spark.sql.Dataset[Clip], org.apache.spark.sql.Dataset[Clip])) =
+      (r._1.collect().map(_.clip_id).toSet, r._2.collect().map(_.clip_id).toSet)
+    val bc = ids(FuzzyRetrieval.decontaminate(corpus, evalSet, dcfg, alsoContained = true))
+    val sh = ids(FuzzyRetrieval.decontaminateShuffle(corpus, evalSet, dcfg, alsoContained = true))
+    assert(bc._2 == Set("t1", "long1"), s"vacuous/bad broadcast fixture: $bc")
+    assert(sh == bc, s"shuffle=$sh broadcast=$bc")
+    // fuzzy-only mode agrees too
+    val bc1 = ids(FuzzyRetrieval.decontaminate(corpus, evalSet, dcfg))
+    val sh1 = ids(FuzzyRetrieval.decontaminateShuffle(corpus, evalSet, dcfg))
+    assert(sh1 == bc1 && bc1._2 == Set("t1"))
+    // the broadcast path REFUSES an eval set past the envelope; the shuffle
+    // path is the documented remedy and produces the identical partition
+    val tiny = dcfg.copy(broadcastMaxRows = 1)
+    val e = intercept[IllegalArgumentException] {
+      FuzzyRetrieval.decontaminate(corpus, evalSet, tiny, alsoContained = true)
+    }
+    assert(e.getMessage.contains("topkShuffle"), e.getMessage)
+    assert(ids(FuzzyRetrieval.decontaminateShuffle(corpus, evalSet, tiny,
+      alsoContained = true)) == bc)
+  }
+
+  test("decontaminateShuffle: over-length corpus rows still containment-flag (and are counted)") {
+    import spark.implicits._
+    def clip(id: String, text: String) =
+      Clip(id, Array.emptyByteArray, 16000, 0, "pcm_s16le", text)
+    val evalSet = Seq(clip("ev2", "qq ww ee rr tt yy")).toDS()
+    val filler = (0 until 40).map(i => "g" + ('a' + i % 20).toChar.toString * (2 + i / 20))
+    // 46 tokens > maxTokensInPattern=20: the fuzzy DP must skip it (P4,
+    // counted) but the containment channel must still flag it
+    val corpus = Seq(
+      clip("big1", (filler.take(20) ++ Seq("qq", "ww", "ee", "rr", "tt", "yy")
+        ++ filler.drop(20)).mkString(" ")),
+      clip("neg1", filler.take(18).mkString(" "))).toDS()
+    val tight = DedupConfig(threshold = 0.8f, maxTokensInPattern = 20)
+    val skipped = spark.sparkContext.longAccumulator
+    val (_, flagged) = FuzzyRetrieval.decontaminateShuffle(corpus, evalSet, tight,
+      alsoContained = true, fuzzySkippedOverLength = Some(skipped))
+    assert(flagged.collect().map(_.clip_id).toSet == Set("big1"))
+    assert(skipped.value == 1L, s"over-length fuzzy skips not counted: ${skipped.value}")
+    // matches the broadcast contract on the same fixture
+    val (_, bcFlagged) = FuzzyRetrieval.decontaminate(corpus, evalSet, tight,
+      alsoContained = true)
+    assert(bcFlagged.collect().map(_.clip_id).toSet == Set("big1"))
+  }
+
   test("decontamination fails loudly when eval rows are dropped by tokenize filters") {
     import spark.implicits._
     def clip(id: String, text: String) =
@@ -356,6 +447,10 @@ class FuzzyRetrievalSpec extends AnyFunSuite {
       FuzzyRetrieval.decontaminate(corpus, Seq(longEval).toDS(), tight)
     }
     assert(e.getMessage.contains("unprotect"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      FuzzyRetrieval.decontaminateShuffle(corpus, Seq(longEval).toDS(), tight)
+    }
+    assert(e2.getMessage.contains("unprotect"), e2.getMessage)
   }
 
   test("shuffle path with λ>0 tokenizes the corpus ONCE (rerank join reads the cache)") {
