@@ -19,7 +19,7 @@ object SparkEntry {
     PipelineQueries.qDedupClusters(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.sqlOracled ++ PipelineQueries.rowsOnly
+    Queries.sqlOracled ++ PipelineQueries.rowsOnly ++ PipelineQueries.goldenOracled
 
-  def oracleSql: Map[String, String] = Queries.oracle
+  def oracleSql: Map[String, String] = Queries.oracle ++ PipelineQueries.goldenOracle
 }

@@ -525,6 +525,60 @@ object PipelineQueries {
       .select(col("clip_id"), col("transcript"))
   }
 
+  /** Cluster SIZE HISTOGRAM of the full dedup pipeline — the deterministic
+    * projection of q_dedup_clusters the driver can check beyond a row
+    * count. The fuzzy edge set is not ANSI-SQL-expressible, so the DuckDB
+    * side is a COMMITTED GOLDEN (VALUES) computed once from this pipeline
+    * on the driver's sf0.01 tables; full cluster-partition equality vs the
+    * oracle's transitive closure is pinned in DedupPipelineSpec — this
+    * surfaces a regression of it on the driver board. */
+  def qDedupSizes(spark: SparkSession, dir: String): DataFrame =
+    DedupPipeline.run(documentsAsClips(spark, dir), DedupConfig(threshold = 0.8f))
+      .clusters.toDF()
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
+  /** Survivor-set checksum (count + id sum) for the min-id policy — the
+    * driver-checkable projection of q_dedup_survivors (same committed-
+    * golden scheme as [[qDedupSizes]]; the id SUM pins WHICH rows survive,
+    * not just how many). */
+  def qDedupSurvivorStats(spark: SparkSession, dir: String): DataFrame =
+    qDedupSurvivors(spark, dir)
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(col("clip_id").cast("long")).as("id_sum"))
+
+  /** [[qDedupSurvivorStats]] for the contrastive-medoid survivor policy. */
+  def qDedupSurvivorStatsMedoid(spark: SparkSession, dir: String): DataFrame =
+    qDedupSurvivorsMedoid(spark, dir)
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(col("clip_id").cast("long")).as("id_sum"))
+
+  /** Dedup-projection queries with COMMITTED-GOLDEN oracles: the driver's
+    * DuckDB side cannot compute the fuzzy pipeline, so these oracles are
+    * VALUES literals pinned from this engine's own output on the driver's
+    * sf0.01 tables (tools/GoldenProbe; regenerate there if the testdata
+    * generator ever changes). They upgrade q_dedup_clusters /
+    * q_dedup_survivors(_medoid) from rows-only to schema+hash-checked
+    * without weakening semantics — partition equality vs the oracle's
+    * transitive closure is separately pinned in DedupPipelineSpec. */
+  val goldenOracled: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_sizes" -> (qDedupSizes _),
+    "q_dedup_survivor_stats" -> (qDedupSurvivorStats _),
+    "q_dedup_survivor_stats_medoid" -> (qDedupSurvivorStatsMedoid _)
+  )
+
+  /** sf0.01 goldens for [[goldenOracled]] (BIGINT-cast so the DuckDB schema
+    * matches Spark's long columns). */
+  val goldenOracle: Map[String, String] = Map(
+    "q_dedup_sizes" ->
+      """SELECT * FROM (VALUES (1::BIGINT, 453::BIGINT), (2::BIGINT, 22::BIGINT),
+        | (3::BIGINT, 1::BIGINT)) AS t(cluster_size, n_clusters)""".stripMargin,
+    "q_dedup_survivor_stats" ->
+      "SELECT * FROM (VALUES (476::BIGINT, 118353::BIGINT)) AS t(n_survivors, id_sum)",
+    "q_dedup_survivor_stats_medoid" ->
+      "SELECT * FROM (VALUES (476::BIGINT, 118499::BIGINT)) AS t(n_survivors, id_sum)"
+  )
+
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_topk" -> (qFuzzyTopk _),
     "q_fuzzy_topk_shuffle" -> (qFuzzyTopkShuffle _),

@@ -1,0 +1,19 @@
+package graft.tools
+
+import graft.dedup.DedupPipeline
+
+/** Scratch: print the dedup-projection goldens for the driver oracle. */
+object GoldenProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = DedupPipeline.sessionBuilder("graft-golden", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    println("SIZES=" + graft.ops.PipelineQueries.qDedupSizes(spark, dir)
+      .orderBy("cluster_size").collect().map(r => (r.getLong(0), r.getLong(1))).mkString(";"))
+    println("SURV=" + graft.ops.PipelineQueries.qDedupSurvivorStats(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).mkString(";"))
+    println("SURVM=" + graft.ops.PipelineQueries.qDedupSurvivorStatsMedoid(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).mkString(";"))
+    spark.stop()
+  }
+}
