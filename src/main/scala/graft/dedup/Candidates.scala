@@ -81,6 +81,46 @@ object CandidateStage {
     * MB as a HashedRelation); beyond it the anti-join shuffles. */
   private[graft] val hotKeyBroadcastBound = 1000000
 
+  /** Smallest cap the auto-tuner will ever choose: below this, capping
+    * destroys recall faster than it saves work (a df-8 bucket costs 64
+    * join rows — noise), so a distribution whose work budget is blown even
+    * at df ≤ 8 keeps the floor rather than degenerating to drop-everything. */
+  private[graft] val autoCapFloor = 8
+
+  /** AUTO df-cap (r4 verdict stretch item): instead of a hand-set constant,
+    * derive the cap from the MEASURED bucket-df histogram so the quadratic
+    * join work stays bounded LINEAR in the input at any scale. Rule: the
+    * largest cap c such that the kept buckets' join work
+    * Σ_{df ≤ c} df²·H(df) ≤ workFactor · N_entries (monotone in c, so
+    * unique), clamped to [[autoCapFloor]]. A cold distribution (nothing
+    * hot) yields c = max df — no capping at all; a Zipf head gets cut
+    * exactly where its quadratic mass would exceed the linear budget.
+    * Costs one extra partial-agg pass over the entries (the histogram),
+    * only when auto is requested. */
+  private def autoCap(entries: org.apache.spark.sql.DataFrame, workFactor: Long): Int = {
+    val spark = entries.sparkSession
+    import spark.implicits._
+    val hist = entries.groupBy("sh").agg(count(lit(1)).as("df"))
+      .groupBy("df").agg(count(lit(1)).as("buckets")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    if (hist.isEmpty) return autoCapFloor
+    val n = hist.iterator.map { case (df, b) => df * b }.sum
+    val budget = n * workFactor
+    var work = 0L
+    var c = 0L
+    var i = 0
+    var stop = false
+    while (i < hist.length && !stop) {
+      val (df, b) = hist(i)
+      val w = df * df * b
+      if (work + w <= budget) { work += w; c = df; i += 1 } else stop = true
+    }
+    val chosen = math.max(c, autoCapFloor.toLong).min(Int.MaxValue.toLong).toInt
+    System.err.println(s"[candidates] auto df-cap=$chosen " +
+      s"(entries=$n, workFactor=$workFactor, maxDf=${hist.last._1}, keptWork=$work)")
+    chosen
+  }
+
   /** THE hot-bucket valve, shared by every bucketed channel (self-join,
     * cross-table, tiny-gram): ONE eager stats job off the raw `entries` — a
     * map-side partial agg shuffling only (sh, partial-count) pairs,
@@ -95,7 +135,10 @@ object CandidateStage {
     * WITHIN the main job by the df-aggregate, the anti-join probe and the
     * downstream join sides (identical canonical subtree → ReusedExchange).
     * Input must carry an `sh` bucket column; output is the cold entries ON
-    * the exchange. */
+    * the exchange.
+    *
+    * `cap` encoding: > 0 = that fixed cap; 0 = AUTO with the default work
+    * factor (64); < 0 = AUTO with work factor −cap (see [[autoCap]]). */
   private[graft] def dropHotBuckets(
       entries: org.apache.spark.sql.DataFrame,
       cap: Int,
@@ -104,8 +147,11 @@ object CandidateStage {
       broadcastBound: Int = hotKeyBroadcastBound): org.apache.spark.sql.DataFrame = {
     val spark = entries.sparkSession
     import spark.implicits._
+    val effCap =
+      if (cap > 0) cap
+      else autoCap(entries, if (cap == 0) 64L else -cap.toLong)
     val hotArr = entries.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter($"df" > cap)
+      .filter($"df" > effCap)
       .limit(broadcastBound + 1)
       .collect()
 
@@ -126,13 +172,13 @@ object CandidateStage {
       // beyond the broadcast bound: exact metrics need a second (partial-agg)
       // pass; the anti-join probe recomputes on the parted exchange (reused)
       val stats = entries.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter($"df" > cap)
+        .filter($"df" > effCap)
         .agg(count(lit(1)).as("buckets"),
           coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L)).as("pairs")).head()
       cappedBuckets.add(stats.getLong(0))
       cappedPairsLost.foreach(_.add(stats.getLong(1)))
       val hot0 = parted.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter($"df" > cap).select("sh")
+        .filter($"df" > effCap).select("sh")
       parted.join(hot0, Seq("sh"), "left_anti")
     }
   }

@@ -38,7 +38,10 @@ final case class DedupConfig(
       * exact channel. Hot shingles (top Zipf words) otherwise cost O(df²)
       * pairs per bucket — the quadratic wall at 10^12 rows. Dropped buckets
       * are counted in metrics (never silent) and their pairs recovered by
-      * the MinHash channel + the rare-shingle co-occurrences of true dups. */
+      * the MinHash channel + the rare-shingle co-occurrences of true dups.
+      * 0 = AUTO: derive the cap from the measured bucket-df histogram so
+      * the kept buckets' quadratic join work stays ≤ 64× the entry count
+      * (CandidateStage.autoCap; < 0 = auto with work factor −value). */
     shingleDfCap: Int = 64,
     /** emit candidate pairs from the exact shingle channel. */
     useNgramChannel: Boolean = true,
@@ -52,7 +55,8 @@ final case class DedupConfig(
       * the default (≥0.99 gate holds with margin; tools/ProfileRecall.scala). */
     minhashPerms: Int = 96,
     minhashBands: Int = 32,
-    /** max docs per band bucket before pair emission is capped. */
+    /** max docs per band bucket before pair emission is capped (0 / < 0 =
+      * AUTO, as for shingleDfCap). */
     bandDfCap: Int = 256,
     /** rows with fewer tokens than shingleK are broadcast and matched by
       * containment (reference unigram/short-pattern semantics). */

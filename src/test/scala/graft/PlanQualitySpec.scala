@@ -142,6 +142,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("containment gram channel (subsequence/decon shuffle) is an equi-join, never a nested loop") {
+    import spark.implicits._
+    val corpus = graft.data.SynthCorpus.generate(spark, 64)
+    val queries = corpus.filter(c => c.clip_id.endsWith("0"))
+    val cfg = graft.dedup.DedupConfig()
+    val qt = graft.dedup.TokenizeStage(queries, cfg)
+    val ct = graft.dedup.TokenizeStage(corpus, cfg)
+    val ch = graft.dedup.CandidateStage.crossContainmentGramChannel(qt, ct, cfg,
+      cap = 1024, spark.sparkContext.longAccumulator)
+    val p = planOf(ch.toDF())
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("len-window pair join has no per-language cartesian shape") {
     val p = planOf(Queries.qLenWindowPairs(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
