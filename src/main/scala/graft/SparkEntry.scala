@@ -19,7 +19,9 @@ object SparkEntry {
     PipelineQueries.qDedupClusters(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.sqlOracled ++ PipelineQueries.rowsOnly ++ PipelineQueries.goldenOracled
+    Queries.sqlOracled ++ PipelineQueries.rowsOnly ++ PipelineQueries.goldenOracled ++
+      PipelineQueries.checksumOracled
 
-  def oracleSql: Map[String, String] = Queries.oracle ++ PipelineQueries.goldenOracle
+  def oracleSql: Map[String, String] =
+    Queries.oracle ++ PipelineQueries.goldenOracle ++ PipelineQueries.checksumOracle
 }

@@ -87,6 +87,19 @@ object CandidateStage {
     * at df ≤ 8 keeps the floor rather than degenerating to drop-everything. */
   private[graft] val autoCapFloor = 8
 
+  /** Default AUTO work factor: candidate join-probe volume stays ≤ this
+    * many rows per entry, keeping the candidate stage within a small
+    * constant of the linear scan at any corpus scale. 7 is derived from
+    * the measured 480k histogram (tools/HistProbe, BASELINE.md round 5):
+    * the shingle channel's cumulative-work knee sits at cap ≈ 24
+    * (wf 6.98) — the operating point the r4 cap-knob experiment validated
+    * (half the candidate wall for 0.04% of edges, recovered by the band
+    * channel) — while past it ~50 tail buckets would cost a further 5× the
+    * whole kept work. On cold/open-vocabulary distributions (work ≤ 2-3×
+    * entries) the budget keeps everything, so the factor only ever bites a
+    * Zipf head. */
+  private[graft] val autoCapDefaultWorkFactor = 7L
+
   /** AUTO df-cap (r4 verdict stretch item): instead of a hand-set constant,
     * derive the cap from the MEASURED bucket-df histogram so the quadratic
     * join work stays bounded LINEAR in the input at any scale. Rule: the
@@ -137,8 +150,9 @@ object CandidateStage {
     * Input must carry an `sh` bucket column; output is the cold entries ON
     * the exchange.
     *
-    * `cap` encoding: > 0 = that fixed cap; 0 = AUTO with the default work
-    * factor (64); < 0 = AUTO with work factor −cap (see [[autoCap]]). */
+    * `cap` encoding: > 0 = that fixed cap; 0 = AUTO with
+    * [[autoCapDefaultWorkFactor]]; < 0 = AUTO with work factor −cap (see
+    * [[autoCap]]). */
   private[graft] def dropHotBuckets(
       entries: org.apache.spark.sql.DataFrame,
       cap: Int,
@@ -149,7 +163,7 @@ object CandidateStage {
     import spark.implicits._
     val effCap =
       if (cap > 0) cap
-      else autoCap(entries, if (cap == 0) 64L else -cap.toLong)
+      else autoCap(entries, if (cap == 0) autoCapDefaultWorkFactor else -cap.toLong)
     val hotArr = entries.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter($"df" > effCap)
       .limit(broadcastBound + 1)

@@ -40,7 +40,7 @@ final case class DedupConfig(
       * are counted in metrics (never silent) and their pairs recovered by
       * the MinHash channel + the rare-shingle co-occurrences of true dups.
       * 0 = AUTO: derive the cap from the measured bucket-df histogram so
-      * the kept buckets' quadratic join work stays ≤ 64× the entry count
+      * the kept buckets' quadratic join work stays ≤ 7× the entry count
       * (CandidateStage.autoCap; < 0 = auto with work factor −value). */
     shingleDfCap: Int = 64,
     /** emit candidate pairs from the exact shingle channel. */

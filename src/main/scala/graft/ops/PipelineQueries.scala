@@ -579,6 +579,69 @@ object PipelineQueries {
       "SELECT * FROM (VALUES (476::BIGINT, 118499::BIGINT)) AS t(n_survivors, id_sum)"
   )
 
+  /** Deterministic full-content CHECKSUM projection: row count + the sum of
+    * per-row xxhash64 over every column (mod a prime ≪ Long.Max so the sum
+    * cannot overflow at any plausible row count). Order-independent (sum
+    * commutes), content-complete (any changed cell flips the hash). Used to
+    * give the rows-only queries hash-checked driver shadows: the DuckDB side
+    * cannot compute the underlying operator, but it CAN compare against a
+    * committed VALUES golden of this projection (tools/GoldenProbe prints
+    * them; the probe is run at two core counts to confirm determinism before
+    * a golden is committed). Columns are hashed in sorted-name order so the
+    * checksum is insensitive to select-list reordering. */
+  private[ops] def checksum(df: DataFrame): DataFrame = {
+    val cols = df.columns.sorted.map(col)
+    df.select(pmod(xxhash64(cols: _*), lit(1000000000039L)).as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("hash_sum"))
+  }
+
+  /** Hash-checked shadows of the rows-only queries (same committed-golden
+    * scheme as [[goldenOracled]]). q_ann_ivf is deliberately ABSENT: its
+    * k-means centroids come from cross-partition floating-point partial
+    * sums whose addition order the scheduler does not fix, so cell
+    * assignments near Voronoi boundaries are not bit-stable — its gate is
+    * the recall bound in AnnRecallSpec instead. Every query here is
+    * per-row deterministic with fully tie-broken top-k/ordering. */
+  val checksumOracled: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_topk_check" -> ((s: SparkSession, d: String) => checksum(qFuzzyTopk(s, d))),
+    "q_fuzzy_topk_shuffle_check" -> ((s: SparkSession, d: String) => checksum(qFuzzyTopkShuffle(s, d))),
+    "q_subseq_retrieval_check" -> ((s: SparkSession, d: String) => checksum(qSubseqRetrieval(s, d))),
+    "q_subseq_retrieval_shuffle_check" -> ((s: SparkSession, d: String) => checksum(qSubseqRetrievalShuffle(s, d))),
+    "q_decontaminate_check" -> ((s: SparkSession, d: String) => checksum(qDecontaminate(s, d))),
+    "q_decontaminate_shuffle_check" -> ((s: SparkSession, d: String) => checksum(qDecontaminateShuffle(s, d))),
+    "q_minhash_sigs_check" -> ((s: SparkSession, d: String) => checksum(qMinhashSigs(s, d))),
+    "q_simhash_pairs_check" -> ((s: SparkSession, d: String) => checksum(qSimhashPairs(s, d))),
+    "q_ann_lsh_check" -> ((s: SparkSession, d: String) => checksum(qAnnLsh(s, d))),
+    "q_embed_dup_pairs_check" -> ((s: SparkSession, d: String) => checksum(qEmbedDupPairs(s, d, 0.45))),
+    "q_audio_meta_check" -> ((s: SparkSession, d: String) => checksum(AudioOps.qAudioMeta(s, d))),
+    "q_audio_energy_check" -> ((s: SparkSession, d: String) => checksum(AudioOps.qAudioEnergy(s, d)))
+  )
+
+  /** (n_rows, hash_sum) per checksum query on the driver's sf0.01 tables —
+    * printed by tools/GoldenProbe (`CHECK <name> n=<n> sum=<s>` lines);
+    * regenerate there if the testdata generator or an operator's semantics
+    * ever change. */
+  private val checksumGoldens: Map[String, (Long, Long)] = Map(
+    "q_fuzzy_topk_check" -> (0L, 0L),
+    "q_fuzzy_topk_shuffle_check" -> (0L, 0L),
+    "q_subseq_retrieval_check" -> (0L, 0L),
+    "q_subseq_retrieval_shuffle_check" -> (0L, 0L),
+    "q_decontaminate_check" -> (0L, 0L),
+    "q_decontaminate_shuffle_check" -> (0L, 0L),
+    "q_minhash_sigs_check" -> (0L, 0L),
+    "q_simhash_pairs_check" -> (0L, 0L),
+    "q_ann_lsh_check" -> (0L, 0L),
+    "q_embed_dup_pairs_check" -> (0L, 0L),
+    "q_audio_meta_check" -> (0L, 0L),
+    "q_audio_energy_check" -> (0L, 0L)
+  )
+
+  /** sf0.01 VALUES goldens for [[checksumOracled]], committed from two
+    * agreeing GoldenProbe runs at different core counts (8 and 32). */
+  val checksumOracle: Map[String, String] = checksumGoldens.map { case (k, (n, s)) =>
+    k -> s"SELECT * FROM (VALUES ($n::BIGINT, $s::BIGINT)) AS t(n_rows, hash_sum)"
+  }
+
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_topk" -> (qFuzzyTopk _),
     "q_fuzzy_topk_shuffle" -> (qFuzzyTopkShuffle _),

@@ -42,7 +42,7 @@ class AutoCapSpec extends AnyFunSuite {
 
   test("cold distribution: auto cap keeps everything (cap lands at max df)") {
     val cold = (0 until 50).flatMap(b => Seq(e(b.toLong, f"a$b%02d"), e(b.toLong, f"b$b%02d")))
-    val (gotAuto, cappedAuto) = pairsOf(cold, cap = 0) // default work factor 64
+    val (gotAuto, cappedAuto) = pairsOf(cold, cap = 0) // default work factor (7)
     val (gotUncapped, _) = pairsOf(cold, cap = Int.MaxValue)
     assert(gotAuto == gotUncapped && cappedAuto == 0L,
       s"auto capped a cold distribution: dropped=$cappedAuto")
