@@ -622,18 +622,18 @@ object PipelineQueries {
     * regenerate there if the testdata generator or an operator's semantics
     * ever change. */
   private val checksumGoldens: Map[String, (Long, Long)] = Map(
-    "q_fuzzy_topk_check" -> (0L, 0L),
-    "q_fuzzy_topk_shuffle_check" -> (0L, 0L),
-    "q_subseq_retrieval_check" -> (0L, 0L),
-    "q_subseq_retrieval_shuffle_check" -> (0L, 0L),
-    "q_decontaminate_check" -> (0L, 0L),
-    "q_decontaminate_shuffle_check" -> (0L, 0L),
-    "q_minhash_sigs_check" -> (0L, 0L),
-    "q_simhash_pairs_check" -> (0L, 0L),
-    "q_ann_lsh_check" -> (0L, 0L),
-    "q_embed_dup_pairs_check" -> (0L, 0L),
-    "q_audio_meta_check" -> (0L, 0L),
-    "q_audio_energy_check" -> (0L, 0L)
+    "q_fuzzy_topk_check" -> (56L, 28292085721801L),
+    "q_fuzzy_topk_shuffle_check" -> (56L, 28292085721801L),
+    "q_subseq_retrieval_check" -> (50L, 25251642883202L),
+    "q_subseq_retrieval_shuffle_check" -> (50L, 25251642883202L),
+    "q_decontaminate_check" -> (21L, 9230308800686L),
+    "q_decontaminate_shuffle_check" -> (21L, 9230308800686L),
+    "q_minhash_sigs_check" -> (16000L, 8047104892887150L),
+    "q_simhash_pairs_check" -> (20L, 11924801789133L),
+    "q_ann_lsh_check" -> (2500L, 1256452995907770L),
+    "q_embed_dup_pairs_check" -> (14L, 6324466273070L),
+    "q_audio_meta_check" -> (500L, 255835826848032L),
+    "q_audio_energy_check" -> (500L, 248428821493326L)
   )
 
   /** sf0.01 VALUES goldens for [[checksumOracled]], committed from two
