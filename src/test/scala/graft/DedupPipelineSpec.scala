@@ -67,6 +67,18 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"${extra.size} extra pairs, e.g. ${extra.take(5)}")
   }
 
+  test("AUTO df-caps (cap = 0) leave the edge set unchanged on a cold corpus") {
+    // the spec corpus's bucket-df histogram is cold (quadratic work ≤ a few ×
+    // entries), so the histogram-derived cap must keep every bucket and the
+    // result must be IDENTICAL to the hand-set-cap run — auto capping only
+    // ever bites a Zipf head (the 480k A/B in BASELINE.md measures that case)
+    val clips = SynthCorpus.generate(spark, nRows)
+    val aPairs = DedupPipeline.run(clips,
+      cfg.copy(strategy = "shuffle", shingleDfCap = 0, bandDfCap = 0))
+      .edges.collect().map(e => norm(e.a, e.b)).toSet
+    assert(aPairs == pipelinePairs)
+  }
+
   test("clusters equal the transitive closure of oracle pairs") {
     // union-find over oracle pairs
     val parent = scala.collection.mutable.HashMap.empty[String, String]
