@@ -14,7 +14,8 @@ import graft.ops.AudioOps
   *
   * Three stages, mirroring the transcript pipeline's shape so the same
   * scale machinery applies:
-  *  1. fingerprint (narrow): decode → per-frame RMS envelope → mean-
+  *  1. fingerprint (narrow): decode → ACTIVE-REGION crop (sample-accurate
+  *     energy bounds, see below) → per-frame RMS envelope → mean-
   *     normalize (amplitude invariance) → energy-delta sign bits
   *     (Haitsma–Kalker-style) → position-salted chunk hashes, plus a
   *     bounded RMS-normalized PCM head sketch for verification;
@@ -25,18 +26,32 @@ import graft.ops.AudioOps
   *     ≥ `minCorr` (byte-identical dups score 1.0; amplitude-scaled copies
   *     survive the RMS normalization; unrelated content — including
   *     same-pitch tones with independent noise — decorrelates).
+  *
+  * TRIM INVARIANCE: every sketch is computed over the clip's active region
+  * — `[first, last]` sample whose amplitude clears 2% of the clip's peak
+  * amplitude (relative ⇒ amplitude-scale invariant). A copy that gained or
+  * lost leading/trailing silence (or sub-threshold noise) from re-
+  * segmentation therefore produces the IDENTICAL fingerprint row — same
+  * chunks, same active frame count (so the P5 length window cannot reject
+  * the pair), same envelope sketch, sample-aligned head — and is found
+  * exactly like a byte-identical dup. Content shifted by inserted NON-
+  * silent audio remains out of scope (that is a different recording, not a
+  * segmentation artifact).
   */
 object AudioDedup {
 
-  /** Envelope fingerprint of one clip. `chunks` are position-salted hashes
-    * of `chunkBits`-wide windows of the envelope delta-sign bit stream (the
-    * LSH keys); `head` is the RMS-normalized `headLen` samples starting at
-    * the clip's ENERGY ONSET (first frame with meaningful envelope energy —
-    * a silent or near-silent intro never anchors the verify sketch); `env`
-    * is a fixed-64-bin mean-normalized resample of the WHOLE clip's RMS
-    * envelope (time-normalized, so clips of different durations compare on
-    * the same axis). Both sketches are bounded — rows stay small no matter
-    * the clip duration. */
+  /** Envelope fingerprint of one clip, computed over its ACTIVE REGION
+    * (sample-accurate energy bounds — leading/trailing silence stripped
+    * before any framing, so the frame grid itself is trim-invariant).
+    * `chunks` are position-salted hashes of `chunkBits`-wide windows of the
+    * active envelope's delta-sign bit stream (the LSH keys); `head` is the
+    * RMS-normalized first `headLen` active samples (a silent intro never
+    * anchors the verify sketch — it is cropped before framing); `env` is a
+    * fixed-64-bin mean-normalized resample of the active RMS envelope
+    * (time-normalized, so clips of different durations compare on the same
+    * axis); `n_frames` counts ACTIVE frames (the P5 length window ignores
+    * silent padding). Both sketches are bounded — rows stay small no
+    * matter the clip duration. */
   final case class AudioFpRow(
       clip_id: String, n_frames: Int, head: Array[Float], env: Array[Float], chunks: Array[Long])
 
@@ -51,7 +66,28 @@ object AudioDedup {
     val spark = clips.sparkSession
     import spark.implicits._
     clips.mapPartitions(_.map { c =>
-      val samples = AudioOps.decode(c)
+      val all = AudioOps.decode(c)
+
+      // active region: [first, last] sample clearing 2% of peak amplitude.
+      // Cropping BEFORE framing makes the frame grid (and so every sketch
+      // below) invariant to leading/trailing silence of ANY length — a
+      // re-segmented copy fingerprints identically to its original. An
+      // all-silent clip (peak 0 ⇒ every sample ≥ threshold 0) keeps its
+      // full extent and stays self-consistent.
+      var peak = 0
+      var pi = 0
+      while (pi < all.length) {
+        val v = math.abs(all(pi).toInt); if (v > peak) peak = v; pi += 1
+      }
+      val thr = 0.02 * peak
+      var lo = 0
+      while (lo < all.length && math.abs(all(lo).toInt) < thr) lo += 1
+      var hi = all.length
+      while (hi > lo && math.abs(all(hi - 1).toInt) < thr) hi -= 1
+      val samples =
+        if (lo == 0 && hi == all.length) all
+        else java.util.Arrays.copyOfRange(all, lo, hi)
+
       val frameLen = math.max(1, c.sr_hz * frameMs / 1000)
       val nFrames = math.max(1, (samples.length + frameLen - 1) / frameLen)
 
@@ -110,23 +146,14 @@ object AudioDedup {
         bi += 1
       }
 
-      // energy onset: first frame whose envelope clears 2% of the peak
-      // envelope (relative ⇒ amplitude-scale invariant; frame-averaged ⇒
-      // robust to per-sample quantization). Digital-silence intros never
-      // anchor the head sketch.
-      var peakEnv = 0.0
-      f = 0
-      while (f < nFrames) { if (env(f) > peakEnv) peakEnv = env(f); f += 1 }
-      var onsetFrame = 0
-      while (onsetFrame < nFrames - 1 && env(onsetFrame) < 0.02 * peakEnv) onsetFrame += 1
-      val onset = onsetFrame * frameLen
-
-      // bounded verify sketch: RMS-normalized samples from the onset
+      // bounded verify sketch: RMS-normalized head of the active region
+      // (the crop above already anchored sample 0 at the energy onset,
+      // sample-accurately — so two trim-variants align exactly)
       val rms = math.max(math.sqrt(rmsAll / math.max(1, samples.length)), 1e-9)
-      val hl = math.max(0, math.min(headLen, samples.length - onset))
+      val hl = math.min(headLen, samples.length)
       val head = new Array[Float](hl)
       var i = 0
-      while (i < hl) { head(i) = (samples(onset + i) / rms).toFloat; i += 1 }
+      while (i < hl) { head(i) = (samples(i) / rms).toFloat; i += 1 }
 
       AudioFpRow(c.clip_id, nFrames, head, envSk, chunks)
     })

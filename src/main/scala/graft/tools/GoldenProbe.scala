@@ -22,6 +22,20 @@ object GoldenProbe {
         val r = q(spark, dir).head()
         println(s"CHECK $name n=${r.getLong(0)} sum=${r.getLong(1)}")
     }
+    // q_audio_dup_pairs vs its oracle semantics (the DuckDB SQL re-expressed
+    // in Spark SQL over the same parquet): set equality incl. corr — guards
+    // fingerprint changes against drift on the driver's own gate
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    val want = spark.sql(
+      """SELECT format_string('doc_%08d', a.doc_id) AS a,
+        | format_string('doc_%08d', b.doc_id) AS b, CAST(1.0 AS DOUBLE) AS corr
+        | FROM documents a JOIN documents b
+        | ON a.doc_id div 4 = b.doc_id div 4 AND a.doc_id < b.doc_id""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val got = graft.ops.PipelineQueries.qAudioDupPairs(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    println(s"AUDIO_PAIRS match=${got == want} got=${got.size} want=${want.size}" +
+      (if (got != want) s" missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}" else ""))
     spark.stop()
   }
 }

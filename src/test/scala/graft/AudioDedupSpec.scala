@@ -119,6 +119,52 @@ class AudioDedupSpec extends AnyFunSuite {
     assert(!AudioDedup.envAgree(flat, shaped)) // flat vs structured: fail
   }
 
+  /** `base` with `pre` samples prepended and `post` appended, each filled by
+    * `fill` (0 = digital silence). */
+  private def padded(base: Clip, id: String, pre: Int, post: Int,
+                     fill: Int => Short = _ => 0: Short): Clip = {
+    val s = AudioPcm.decodePcm(base.bytes)
+    val all = Array.tabulate(pre)(fill) ++ s ++ Array.tabulate(post)(i => fill(pre + s.length + i))
+    val buf = java.nio.ByteBuffer.allocate(all.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    all.foreach(buf.putShort)
+    base.copy(clip_id = id, bytes = graft.ops.AudioOps.wavWrap(buf.array(), base.sr_hz),
+      dur_ms = (all.length * 1000L / base.sr_hz).toInt)
+  }
+
+  test("silence-trimmed/padded copies fingerprint IDENTICALLY to the original") {
+    import spark.implicits._
+    val base = clip("orig", seed = 17L, nSamples = 480)
+    // pad lengths deliberately NOT multiples of the 16-sample frame — the
+    // active-region crop is sample-accurate, so the frame grid realigns
+    val variants = Seq(padded(base, "lead", 137, 0), padded(base, "trail", 0, 211),
+      padded(base, "both", 53, 97))
+    val fps = AudioDedup.fingerprints((base +: variants).toDS())
+      .collect().map(f => f.clip_id -> f).toMap
+    val o = fps("orig")
+    for (v <- variants.map(_.clip_id)) {
+      assert(fps(v).n_frames == o.n_frames, s"$v: active frame count differs")
+      assert(fps(v).chunks.sorted.sameElements(o.chunks.sorted), s"$v: chunk set differs")
+      assert(fps(v).head.sameElements(o.head), s"$v: head sketch differs")
+      assert(fps(v).env.sameElements(o.env), s"$v: envelope sketch differs")
+    }
+  }
+
+  test("re-segmented copies (silence and sub-threshold noise pads) pair with the original") {
+    import spark.implicits._
+    val base = clip("orig", seed = 29L, nSamples = 480)
+    // noise pad stays under the 2%-of-peak active threshold (peak ~2000 at
+    // this synth amplitude; |noise| ≤ 11 ≪ 2% of peak)
+    val noisy = padded(base, "noisepad", 119, 73,
+      fill = i => ((i * 2654435761L >>> 40) % 23 - 11).toShort)
+    val clips = Seq(base, padded(base, "lead", 137, 0), padded(base, "trail", 0, 211), noisy) ++
+      (40 until 52).map(i => clip(s"bg_$i", seed = i.toLong * 11L + 3L, nSamples = 480))
+    val got = AudioDedup(clips.toDS()).collect().map(e => norm(e.a, e.b)).toSet
+    val dups = Set("orig", "lead", "trail", "noisepad")
+    val want = (for { a <- dups; b <- dups if a < b } yield (a, b)).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("shared loud intro with divergent bodies does NOT pair (envelope gate)") {
     import spark.implicits._
     // two clips: identical first 512 samples, then one goes near-silent while
