@@ -66,55 +66,17 @@ object AudioDedup {
     val spark = clips.sparkSession
     import spark.implicits._
     clips.mapPartitions(_.map { c =>
-      val all = AudioOps.decode(c)
-
-      // active region: [first, last] sample clearing 2% of peak amplitude.
-      // Cropping BEFORE framing makes the frame grid (and so every sketch
-      // below) invariant to leading/trailing silence of ANY length — a
-      // re-segmented copy fingerprints identically to its original. An
-      // all-silent clip (peak 0 ⇒ every sample ≥ threshold 0) keeps its
-      // full extent and stays self-consistent.
-      var peak = 0
-      var pi = 0
-      while (pi < all.length) {
-        val v = math.abs(all(pi).toInt); if (v > peak) peak = v; pi += 1
-      }
-      val thr = 0.02 * peak
-      var lo = 0
-      while (lo < all.length && math.abs(all(lo).toInt) < thr) lo += 1
-      var hi = all.length
-      while (hi > lo && math.abs(all(hi - 1).toInt) < thr) hi -= 1
-      val samples =
-        if (lo == 0 && hi == all.length) all
-        else java.util.Arrays.copyOfRange(all, lo, hi)
-
+      val samples = activeRegion(AudioOps.decode(c))
       val frameLen = math.max(1, c.sr_hz * frameMs / 1000)
-      val nFrames = math.max(1, (samples.length + frameLen - 1) / frameLen)
-
-      // frame RMS envelope, mean-normalized (amplitude invariance)
-      val env = new Array[Double](nFrames)
-      var rmsAll = 0.0
-      var f = 0
-      while (f < nFrames) {
-        var acc = 0.0
-        var i = f * frameLen
-        val end = math.min(samples.length, i + frameLen)
-        val n = math.max(1, end - i)
-        while (i < end) { val v = samples(i).toDouble; acc += v * v; i += 1 }
-        env(f) = math.sqrt(acc / n)
-        rmsAll += acc
-        f += 1
-      }
+      val (env, rmsAll) = rmsEnvelope(samples, frameLen)
+      val nFrames = env.length
       val mean = {
         var s = 0.0; var i = 0
         while (i < nFrames) { s += env(i); i += 1 }
         math.max(s / nFrames, 1e-9)
       }
-      // delta-sign bit stream: bit j = [env(j+1) > env(j)] (scale-free)
-      val nBits = math.max(0, nFrames - 1)
-      val bits = new Array[Boolean](nBits)
-      var j = 0
-      while (j < nBits) { bits(j) = env(j + 1) > env(j); j += 1 }
+      val bits = deltaBits(env)
+      val nBits = bits.length
 
       // overlapping position-salted chunk hashes; clips too short for one
       // full chunk get a single whole-stream hash so they still bucket
@@ -159,7 +121,57 @@ object AudioDedup {
     })
   }
 
-  @inline private def packBits(bits: Array[Boolean], start: Int, n: Int): Long = {
+  /** Active region of a decoded clip: `[first, last]` sample whose
+    * amplitude clears 2% of the clip's peak (relative ⇒ amplitude-scale
+    * invariant). Cropping BEFORE framing makes the frame grid — and so
+    * every downstream sketch — invariant to leading/trailing silence of
+    * ANY length. An all-silent clip (peak 0 ⇒ every sample ≥ threshold 0)
+    * keeps its full extent and stays self-consistent. */
+  private[dedup] def activeRegion(all: Array[Short]): Array[Short] = {
+    var peak = 0
+    var pi = 0
+    while (pi < all.length) {
+      val v = math.abs(all(pi).toInt); if (v > peak) peak = v; pi += 1
+    }
+    val thr = 0.02 * peak
+    var lo = 0
+    while (lo < all.length && math.abs(all(lo).toInt) < thr) lo += 1
+    var hi = all.length
+    while (hi > lo && math.abs(all(hi - 1).toInt) < thr) hi -= 1
+    if (lo == 0 && hi == all.length) all
+    else java.util.Arrays.copyOfRange(all, lo, hi)
+  }
+
+  /** Per-frame RMS envelope plus the total sum-of-squares (for whole-clip
+    * RMS). Always at least one frame. */
+  private[dedup] def rmsEnvelope(samples: Array[Short], frameLen: Int): (Array[Double], Double) = {
+    val nFrames = math.max(1, (samples.length + frameLen - 1) / frameLen)
+    val env = new Array[Double](nFrames)
+    var rmsAll = 0.0
+    var f = 0
+    while (f < nFrames) {
+      var acc = 0.0
+      var i = f * frameLen
+      val end = math.min(samples.length, i + frameLen)
+      val n = math.max(1, end - i)
+      while (i < end) { val v = samples(i).toDouble; acc += v * v; i += 1 }
+      env(f) = math.sqrt(acc / n)
+      rmsAll += acc
+      f += 1
+    }
+    (env, rmsAll)
+  }
+
+  /** Delta-sign bit stream: bit j = [env(j+1) > env(j)] (scale-free). */
+  private[dedup] def deltaBits(env: Array[Double]): Array[Boolean] = {
+    val nBits = math.max(0, env.length - 1)
+    val bits = new Array[Boolean](nBits)
+    var j = 0
+    while (j < nBits) { bits(j) = env(j + 1) > env(j); j += 1 }
+    bits
+  }
+
+  @inline private[dedup] def packBits(bits: Array[Boolean], start: Int, n: Int): Long = {
     var v = 0L
     var i = 0
     while (i < n) { if (bits(start + i)) v |= (1L << i); i += 1 }

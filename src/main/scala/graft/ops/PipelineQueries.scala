@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.data.Clip
 import graft.dedup._
@@ -406,9 +406,15 @@ object PipelineQueries {
     * so each group's members share identical PCM — the channel must emit
     * exactly those within-group pairs (6 per full group). Transcripts differ
     * within a group, so this is a pure audio-side decision. */
-  def qAudioDupPairs(spark: SparkSession, dir: String): DataFrame = {
+  def qAudioDupPairs(spark: SparkSession, dir: String): DataFrame =
+    AudioDedup(documentsAsAudioClips(spark, dir)).toDF()
+      .select(col("a"), col("b"), round(col("score"), 4).as("corr"))
+
+  /** The documents table as synthesized audio clips (shared corpus of
+    * [[qAudioDupPairs]] and [[qAudioContained]]). */
+  private def documentsAsAudioClips(spark: SparkSession, dir: String): Dataset[Clip] = {
     import spark.implicits._
-    val clips = spark.read.parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -417,9 +423,21 @@ object PipelineQueries {
         val wav = graft.data.AudioPcm.synthWav(0xA0D10L ^ group, nSamples, 16000)
         Clip(f"doc_$id%08d", wav, 16000, (nSamples * 1000L / 16000).toInt, "pcm_s16le", text)
       }
-    AudioDedup(clips).toDF()
-      .select(col("a"), col("b"), round(col("score"), 4).as("corr"))
   }
+
+  /** Audio containment retrieval over the same synthesized corpus: every
+    * group's members share identical PCM and equal length, so containment
+    * reduces to the equal-length offset-0 case — the expected result is
+    * exactly the 750 within-group pairs at offset 0, corr 1.0 (the SQL
+    * oracle mirrors [[qAudioDupPairs]]'s with the two extra columns).
+    * Proper (shorter-inside-longer) containment is exercised with planted
+    * structured audio in AudioContainmentSpec, where the corpus tables
+    * cannot express it. */
+  def qAudioContained(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.AudioContainment(documentsAsAudioClips(spark, dir))
+      .select(col("inner").as("inner_id"), col("outer").as("outer_id"),
+        col("offset_frames").cast("bigint").as("offset_frames"),
+        round(col("corr"), 4).as("corr"))
 
   /** Distributed top-k fuzzy retrieval (the reference's flagship `-a match`
     * query): the 50 lowest-id documents probe the full documents corpus,
@@ -655,6 +673,7 @@ object PipelineQueries {
     "q_embed_dup_pairs" -> ((s: SparkSession, d: String) => qEmbedDupPairs(s, d, 0.45)),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_audio_dup_pairs" -> (qAudioDupPairs _),
+    "q_audio_contained" -> (qAudioContained _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_shuffle" -> (qDecontaminateShuffle _),
     "q_dedup_clusters" -> (qDedupClusters _),

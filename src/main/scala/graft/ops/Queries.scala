@@ -416,6 +416,16 @@ object Queries {
       """SELECT printf('doc_%08d', a.doc_id) AS a, printf('doc_%08d', b.doc_id) AS b,
         | 1.0::DOUBLE AS corr FROM documents a JOIN documents b
         | ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id""".stripMargin,
+    // audio containment on the same corpus: group members share identical
+    // PCM of EQUAL length, so containment reduces to the equal-length
+    // offset-0 dup case — same pair set, offset 0, corr exactly 1.0
+    // (proper shorter-inside-longer containment is spec-tested on planted
+    // structured audio, which the corpus tables cannot express)
+    "q_audio_contained" ->
+      """SELECT printf('doc_%08d', a.doc_id) AS inner_id, printf('doc_%08d', b.doc_id) AS outer_id,
+        | 0::BIGINT AS offset_frames, 1.0::DOUBLE AS corr
+        | FROM documents a JOIN documents b
+        | ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id, round(sqrt(list_reduce(list_prepend(0::DOUBLE,
         |  [x::DOUBLE * x::DOUBLE for x in embedding]), (a, b) -> a + b)), 4) AS l2

@@ -36,6 +36,13 @@ object GoldenProbe {
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
     println(s"AUDIO_PAIRS match=${got == want} got=${got.size} want=${want.size}" +
       (if (got != want) s" missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}" else ""))
+    // q_audio_contained reduces to the same pair set at offset 0, corr 1.0
+    val wantCt = want.map { case (a, b, c) => (a, b, 0L, c) }
+    val gotCt = graft.ops.PipelineQueries.qAudioContained(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    println(s"AUDIO_CONTAINED match=${gotCt == wantCt} got=${gotCt.size} want=${wantCt.size}" +
+      (if (gotCt != wantCt) s" missing=${(wantCt -- gotCt).take(3)} extra=${(gotCt -- wantCt).take(3)}"
+       else ""))
     spark.stop()
   }
 }
