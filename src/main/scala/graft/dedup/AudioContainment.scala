@@ -144,11 +144,14 @@ object AudioContainment {
     val spark = fps.sparkSession
     import spark.implicits._
 
-    val entries = fps.flatMap { f =>
+    // the fingerprint pass (with its per-clip PCM decode) feeds the entry
+    // stream (twice: stats + join) AND both verify sides — persist it so
+    // decode runs ONCE, released after the result materializes below
+    val fpsP = fps.persist()
+    val entries = fpsP.flatMap { f =>
       val n = f.n_frames
       f.keys.iterator.zip(f.poss.iterator).map { case (k, p) => (k, f.clip_id, p, n) }
     }.toDF("key", "id", "pos", "frames")
-      .persist()
 
     // hot-key valve: one stats pass, drops counted, broadcast anti-join
     // (bounded: a key hotter than bucketCap is dropped for ALL clips)
@@ -177,19 +180,14 @@ object AudioContainment {
       .filter(col("votes") >= minVotes ||
         (col("offset") === 0 && col("iframes") === col("oframes")))
     val w = Window.partitionBy("inner", "outer").orderBy(desc("votes"), asc("offset"))
-    // eager checkpoint: the surviving pair set is result-sized; materialize
-    // it so the wide entries cache can be released inside this call (the
-    // annLsh cache-lifetime discipline)
     val best = voted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("inner", "outer", "offset", "iframes", "oframes")
-      .localCheckpoint(true)
-    entries.unpersist()
 
-    val fpA = fps.select(col("clip_id").as("inner"), col("head").as("a_head"),
+    val fpA = fpsP.select(col("clip_id").as("inner"), col("head").as("a_head"),
       col("renv").as("a_renv"))
-    val fpB = fps.select(col("clip_id").as("outer"), col("head").as("b_head"),
+    val fpB = fpsP.select(col("clip_id").as("outer"), col("head").as("b_head"),
       col("renv").as("b_renv"))
-    best.join(fpA, "inner").join(fpB, "outer")
+    val result = best.join(fpA, "inner").join(fpB, "outer")
       .select(col("inner"), col("outer"), col("offset"), col("iframes"), col("oframes"),
         col("a_head"), col("a_renv"), col("b_head"), col("b_renv"))
       .as[(String, String, Int, Int, Int,
@@ -210,6 +208,11 @@ object AudioContainment {
         }
       }
       .toDF("inner", "outer", "offset_frames", "corr")
+      // eager: the result is pair-sized; materializing it here lets the
+      // fingerprint cache be released inside the call
+      .localCheckpoint(true)
+    fpsP.unpersist()
+    result
   }
 
   /** Convenience: full containment retrieval over a clip table. */

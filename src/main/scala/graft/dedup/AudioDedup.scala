@@ -194,7 +194,12 @@ object AudioDedup {
     val spark = fps.sparkSession
     import spark.implicits._
 
-    val entries = fps.flatMap { f =>
+    // the fingerprint pass (with its per-clip PCM decode) feeds the entry
+    // stream AND both verify sides — persist it so decode runs ONCE, and
+    // release the cache after the (result-sized) edge set materializes
+    // (the annLsh cache-lifetime discipline)
+    val fpsP = fps.persist()
+    val entries = fpsP.flatMap { f =>
       val mx = (f.n_frames * (1.0 + frameWindow)).toInt
       f.chunks.iterator.map(h => CandidateStage.BucketEntry(h, f.clip_id, f.n_frames, mx))
     }
@@ -202,9 +207,9 @@ object AudioDedup {
       .bucketJoinPairs(entries, bucketCap, cappedBuckets, None)
       .dropDuplicates("p", "c").as[CandPair]
 
-    val a = fps.select(col("clip_id").as("p"), col("head").as("a_head"), col("env").as("a_env"))
-    val b = fps.select(col("clip_id").as("c"), col("head").as("b_head"), col("env").as("b_env"))
-    cands.join(a, "p").join(b, "c")
+    val a = fpsP.select(col("clip_id").as("p"), col("head").as("a_head"), col("env").as("a_env"))
+    val b = fpsP.select(col("clip_id").as("c"), col("head").as("b_head"), col("env").as("b_env"))
+    val edges = cands.join(a, "p").join(b, "c")
       // join-key columns lead: (c, p, a_head, a_env, b_head, b_env)
       .as[(String, String, Array[Float], Array[Float], Array[Float], Array[Float])]
       .flatMap { case (c, p, aHead, aEnv, bHead, bEnv) =>
@@ -213,6 +218,9 @@ object AudioDedup {
           Iterator.single(Edge(p, c, corr, 0, "audio"))
         else Iterator.empty
       }
+      .localCheckpoint(true)
+    fpsP.unpersist()
+    edges
   }
 
   /** Whole-clip envelope agreement gate. When BOTH envelope sketches are
