@@ -24,7 +24,9 @@ object Bench {
     val headline = Seq(
       "q1_agg", "q_doc_freq", "q_exact_dedup", "q_token_count", "q_fingerprint",
       "q_jaccard_pairs", "q_len_window_pairs", "q_ann_topk", "q_embed_norm",
-      "q_minhash_sigs", "q_simhash_pairs", "q_ann_lsh", "q_fuzzy_topk")
+      "q_minhash_sigs", "q_simhash_pairs", "q_ann_lsh", "q_fuzzy_topk",
+      // audio channel (round 5): near-dup pairs + containment retrieval
+      "q_audio_dup_pairs", "q_audio_contained")
 
     // session warmup on synthetic data only: pay JVM/codegen/session init
     // once so the first measured query reflects the engine, not cold start
