@@ -65,7 +65,14 @@ object AudioDedup {
                    headLen: Int = 512): Dataset[AudioFpRow] = {
     val spark = clips.sparkSession
     import spark.implicits._
-    clips.mapPartitions(_.map { c =>
+    clips.mapPartitions(_.map(c => fingerprintOne(c, frameMs, chunkBits, chunkStride, headLen)))
+  }
+
+  /** One clip's fingerprint (the kernel of [[fingerprints]]; also used
+    * per-row by the streaming stream-static audio edge operator). */
+  def fingerprintOne(c: Clip, frameMs: Int = 1, chunkBits: Int = 8,
+                     chunkStride: Int = 4, headLen: Int = 512): AudioFpRow = {
+    locally {
       val samples = activeRegion(AudioOps.decode(c))
       val frameLen = math.max(1, c.sr_hz * frameMs / 1000)
       val (env, rmsAll) = rmsEnvelope(samples, frameLen)
@@ -118,7 +125,7 @@ object AudioDedup {
       while (i < hl) { head(i) = (samples(i) / rms).toFloat; i += 1 }
 
       AudioFpRow(c.clip_id, nFrames, head, envSk, chunks)
-    })
+    }
   }
 
   /** Active region of a decoded clip: `[first, last]` sample whose

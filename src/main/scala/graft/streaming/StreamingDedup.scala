@@ -273,6 +273,108 @@ object StreamingDedup {
     }
   }
 
+  /** Stream-static AUDIO near-dup edge stream — [[edgesAgainstCorpus]]'s
+    * payload-side counterpart: arriving clips' trim-invariant envelope
+    * fingerprints ([[graft.dedup.AudioDedup]]) probe a driver-built chunk
+    * inverted index over the static corpus (hot chunk buckets capped at
+    * `bucketCap` AND counted — the shared valve discipline), the P5-style
+    * active-frame-count window prunes both orientations, and survivors are
+    * verified in-stream by the batch channel's exact gate (head Pearson ≥
+    * `cfg.audioMinCorr` AND envelope agreement). Stateless and shuffle-free
+    * per micro-batch; the corpus fingerprints are ONE broadcast shared by
+    * every batch (append mode), so the unbounded axis is the stream.
+    * Duplicate corpus clip_ids stay distinct index rows (TM semantics —
+    * the index is keyed by row position). Emits [[graft.dedup.Edge]] rows
+    * with a = stream clip, b = corpus clip, kind = "audio". Works on both
+    * streaming and batch Datasets (narrow ops only), so stream-vs-batch
+    * equality is testable on the same code path. */
+  def audioEdgesAgainstCorpus(
+      streamClips: Dataset[Clip],
+      corpus: Dataset[Clip],
+      cfg: DedupConfig,
+      frameWindow: Double = 0.2,
+      bucketCap: Int = 512,
+      cappedBuckets: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Edge] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // static side, built once: fingerprints run DISTRIBUTED (the batch
+    // stage-1 kernel); only the bounded sketches land on the driver
+    val fps = graft.dedup.AudioDedup.fingerprints(corpus).persist()
+    val n = fps.count()
+    require(n <= cfg.broadcastMaxRows,
+      s"corpus has $n clips > broadcastMaxRows ${cfg.broadcastMaxRows}: " +
+        "stream-static audio edges need a broadcastable corpus — run the " +
+        "batch AudioDedup.pairs channel instead")
+    val estBytes = fps.select(
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size($"head") * 4 +
+          org.apache.spark.sql.functions.size($"env") * 4 +
+          org.apache.spark.sql.functions.size($"chunks") * 8 + 64)).as[Long].head()
+    require(estBytes <= cfg.broadcastMaxBytes,
+      s"corpus fingerprints estimated at $estBytes bytes > broadcastMaxBytes " +
+        s"${cfg.broadcastMaxBytes}: stream-static audio edges need a " +
+        "broadcastable corpus — run the batch AudioDedup.pairs channel instead")
+    val rows = fps.collect()
+    fps.unpersist()
+
+    // driver-built chunk inverted index, keyed by ROW POSITION; hot chunk
+    // buckets dropped AND counted, never a linear corpus scan per clip
+    val chunkMap = new java.util.HashMap[Long, Array[Int]](rows.length * 2)
+    var capped = 0L
+    locally {
+      val builder = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+      var i = 0
+      while (i < rows.length) {
+        rows(i).chunks.foreach { h =>
+          var buf = builder.get(h)
+          if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Int]; builder.put(h, buf) }
+          buf += i
+        }
+        i += 1
+      }
+      builder.forEach { (key, buf) =>
+        if (buf.length > bucketCap) capped += 1
+        else chunkMap.put(key, buf.toArray)
+      }
+    }
+    cappedBuckets.foreach(_.add(capped))
+    val bcRows = spark.sparkContext.broadcast(rows)
+    val bcChunks = spark.sparkContext.broadcast(chunkMap)
+    val minCorr = cfg.audioMinCorr
+    val fw = frameWindow
+
+    streamClips.mapPartitions { it =>
+      val corpusRows = bcRows.value
+      val idx = bcChunks.value
+      it.flatMap { c =>
+        val f = graft.dedup.AudioDedup.fingerprintOne(c)
+        val cand = new java.util.LinkedHashSet[Integer]()
+        f.chunks.foreach { h =>
+          val hit = idx.get(h)
+          if (hit != null) { var j = 0; while (j < hit.length) { cand.add(hit(j)); j += 1 } }
+        }
+        if (cand.isEmpty) Iterator.empty
+        else {
+          val out = new scala.collection.mutable.ArrayBuffer[Edge]()
+          cand.forEach { i =>
+            val r = corpusRows(i)
+            // P5-style window on ACTIVE frame counts, both orientations
+            // (mirrors the batch entries' (n, n*(1+fw)) bounds)
+            if (r.clip_id != c.clip_id &&
+                r.n_frames <= f.n_frames * (1.0 + fw) &&
+                f.n_frames <= r.n_frames * (1.0 + fw)) {
+              val corr = graft.dedup.AudioDedup.pearson(f.head, r.head)
+              if (corr >= minCorr && graft.dedup.AudioDedup.envAgree(f.env, r.env))
+                out += Edge(c.clip_id, r.clip_id, corr, 0, "audio")
+            }
+          }
+          out.iterator
+        }
+      }
+    }
+  }
+
   /** Streaming top-k fuzzy retrieval: arriving query clips matched against
     * a STATIC indexed corpus — the reference's stdin match loop
     * (/root/reference/cli/src/FuzzyMatch-cli.cc:112-193) as a real stream.

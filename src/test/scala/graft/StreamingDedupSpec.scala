@@ -147,6 +147,75 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(!streamed.exists(_._1 == "s2"))
   }
 
+  test("stream-static AUDIO edges: in-stream fingerprint probe == batch, trim/amp invariant") {
+    import spark.implicits._
+    def structured(seed: Long, n: Int): Array[Short] =
+      Array.tabulate(n)(i =>
+        (500 + (graft.kernel.Hashing.mix64(seed * 1000003L + i) >>> 40) % 1500).toShort)
+    def wrap(id: String, samples: Array[Short]) = {
+      val buf = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(buf.putShort)
+      graft.data.Clip(id, graft.ops.AudioOps.wavWrap(buf.array(), 16000), 16000,
+        (samples.length * 1000L / 16000).toInt, "pcm_s16le", s"t $id")
+    }
+    val base = (0 until 6).map(g => structured(800 + g, 1600))
+    val corpus = base.zipWithIndex.map { case (s, g) => wrap(s"c$g", s) }.toDS()
+    val batch1 = Seq(
+      wrap("s1", base(0)), // exact dup of c0
+      wrap("s2", base(1).map(v => (v / 2).toShort)), // amplitude-halved dup of c1
+      wrap("s3", structured(999L, 1600))) // no match
+    // silence-padded dup of c2 (trim invariance through the streaming path)
+    val batch2 = Seq(wrap("s4", new Array[Short](131) ++ base(2) ++ new Array[Short](57)))
+    val ecfg = DedupConfig()
+
+    val inDir = java.nio.file.Files.createTempDirectory("stream-aedges-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-aedges-ckpt").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("stream-aedges-sink").toString + "/out"
+    batch1.toDS().write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(StreamingDedup.clipSchema).parquet(inDir)
+      .as[graft.data.Clip]
+    def runLeg(): Unit = {
+      val q = StreamingDedup.audioEdgesAgainstCorpus(stream, corpus, ecfg)
+        .writeStream.outputMode(OutputMode.Append()).format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runLeg() // micro-batch 1
+    batch2.toDS().write.mode("append").parquet(inDir)
+    runLeg() // micro-batch 2 (restart from checkpoint, processes only the new file)
+
+    val streamed = spark.read.parquet(sinkDir).as[graft.dedup.Edge].collect()
+      .map(e => (e.a, e.b, e.score, e.kind)).toSet
+
+    // (a) incremental == batch: the operator on the full input in one go
+    val acc = spark.sparkContext.longAccumulator("aedges-batch")
+    val batchEdges = StreamingDedup.audioEdgesAgainstCorpus(
+        (batch1 ++ batch2).toDS(), corpus, ecfg, cappedBuckets = Some(acc))
+      .collect().map(e => (e.a, e.b, e.score, e.kind)).toSet
+    assert(streamed == batchEdges, s"stream=$streamed batch=$batchEdges")
+
+    // (b) the planted pairs, concretely — dup/scaled/padded found, noise not
+    assert(streamed.map(e => (e._1, e._2)) == Set(("s1", "c0"), ("s2", "c1"), ("s4", "c2")),
+      s"got $streamed")
+    streamed.foreach(e => assert(e._3 >= ecfg.audioMinCorr && e._4 == "audio"))
+  }
+
+  test("stream-static audio hot chunk buckets are capped AND counted") {
+    import spark.implicits._
+    val tone = graft.data.AudioPcm.synthWav(5L, 480, 16000)
+    val corpus = (0 until 16)
+      .map(i => graft.data.Clip(s"c$i", tone, 16000, 30, "pcm_s16le", s"t $i")).toDS()
+    val probe = Seq(graft.data.Clip("s0", tone, 16000, 30, "pcm_s16le", "t s0")).toDS()
+    val acc = spark.sparkContext.longAccumulator("aedges-cap")
+    StreamingDedup.audioEdgesAgainstCorpus(probe, corpus, DedupConfig(),
+      bucketCap = 2, cappedBuckets = Some(acc)).count()
+    assert(acc.value > 0, "cap=2 never triggered on 16 identical corpus clips")
+  }
+
   test("duplicate corpus clip_ids both stay in the stream-static band index (TM semantics)") {
     import spark.implicits._
     def clip(id: String, text: String) =
