@@ -80,6 +80,14 @@ final case class DedupConfig(
     useAudioChannel: Boolean = false,
     /** minimum head-sketch Pearson correlation for an audio edge. */
     audioMinCorr: Double = 0.98,
+    /** also run the audio CONTAINMENT channel (AudioContainment) and union
+      * its edges into clustering: a clip whose active audio occurs inside a
+      * longer clip joins that clip's cluster — for a training corpus the
+      * excerpt is redundant content, so survivor selection keeps one of
+      * them. Off by default. */
+    useAudioContainment: Boolean = false,
+    /** minimum windowed-envelope Pearson correlation for a containment edge. */
+    audioContainMinCorr: Double = 0.95,
     // --- execution ---
     /** verify-stage skew valve: split each pattern's candidate list across
       * this many salted sub-groups (decisions are per-candidate independent

@@ -202,7 +202,27 @@ object DedupPipeline {
         }
         edges.union(audioE)
       }
-    val nEdges = allEdges.count()
+    // optional containment channel: an excerpt's active audio occurring
+    // inside a longer clip is redundant training content — its edge pulls
+    // the excerpt into the recording's cluster
+    val allEdgesCt =
+      if (!cfg.useAudioContainment) allEdges
+      else {
+        var containE: Dataset[Edge] = null
+        timed("audio_contain", nClips,
+          if (restoredStages("audio_contain_edges")) Map("restored" -> "true") else Map.empty) {
+          val acc = spark.sparkContext.longAccumulator("audioCtCappedBuckets")
+          containE = checkpointed("audio_contain_edges",
+            AudioContainment.pairs(AudioContainment.fingerprints(clips),
+              minCorr = cfg.audioContainMinCorr, cappedBuckets = acc)
+              .select($"inner".as("a"), $"outer".as("b"), $"corr".as("score"),
+                lit(0).as("lcs"), lit("audio_contain").as("kind"))
+              .as[Edge])(_.as[Edge]).persist()
+          containE.count()
+        }
+        allEdges.union(containE)
+      }
+    val nEdges = allEdgesCt.count()
 
     // Stage 3: connected components. The vertex universe is the INPUT clip
     // table, not the tokenized rows: clips dropped by TokenizeStage (empty
@@ -214,7 +234,7 @@ object DedupPipeline {
     var clusters: Dataset[ClusterRow] = null
     timed("cluster", nEdges) {
       clusters = checkpointed("clusters",
-        ConnectedComponents(allEdges, clips.select($"clip_id").toDF(), cfg.ccMaxIterations,
+        ConnectedComponents(allEdgesCt, clips.select($"clip_id").toDF(), cfg.ccMaxIterations,
           cfg.ccLocalEdgeCap))(_.as[ClusterRow])
         .persist()
       clusters.count()
@@ -223,13 +243,13 @@ object DedupPipeline {
     checkpointDir.foreach { dir =>
       // per-partition lineage rows alongside the stage-level metrics
       metrics ++= Metrics.perPartition("tokens", toks)
-      metrics ++= Metrics.perPartition("edges", allEdges)
+      metrics ++= Metrics.perPartition("edges", allEdgesCt)
       graft.data.TableIO.write(metrics.toSeq.toDS().toDF(), stagePath(dir, "metrics"))
     }
     // edges/clusters are persisted AND materialized (counted) above, so the
     // token cache has no remaining consumer — release it rather than pinning
     // one tokenized corpus copy per pipeline run in a long-lived session
     toks.unpersist()
-    DedupResult(clusters, allEdges, metrics.toSeq)
+    DedupResult(clusters, allEdgesCt, metrics.toSeq)
   }
 }

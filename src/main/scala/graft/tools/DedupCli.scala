@@ -7,13 +7,14 @@ import graft.dedup._
 /** End-to-end pipeline driver.
   *
   * Usage: DedupCli <synth:N | parquetPath> <outDir|-> [threshold] [minhash:0|1]
+  *        [audio:0|1] [contain:0|1]
   * Reads a clip table (or synthesizes one), runs the three-stage dedup, and
   * prints cluster stats. Parallelism via SPARK_GRAFT_CPUS (default 4).
   */
 object DedupCli {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: DedupCli <synth:N|parquet> <outDir|-> [threshold] [minhash:0|1] [audio:0|1]")
+      "usage: DedupCli <synth:N|parquet> <outDir|-> [threshold] [minhash:0|1] [audio:0|1] [contain:0|1]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = DedupPipeline.sessionBuilder("graft-dedup", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,6 +29,7 @@ object DedupCli {
       threshold = if (args.length > 2) args(2).toFloat else 0.8f,
       useMinhashChannel = args.length > 3 && args(3) == "minhash:1",
       useAudioChannel = args.length > 4 && args(4) == "audio:1",
+      useAudioContainment = args.length > 5 && args(5) == "contain:1",
       shufflePartitions = cpus)
 
     val t0 = System.nanoTime()

@@ -114,6 +114,31 @@ class AudioContainmentSpec extends AnyFunSuite {
     assert(acc.value > 0, "cap=2 never triggered on 24 identical clips — cap machinery dead")
   }
 
+  test("pipeline channel: an excerpt joins its recording's cluster only when enabled") {
+    import spark.implicits._
+    import graft.dedup.{DedupConfig, DedupPipeline}
+    val rec = structured(31L, 150 * FL)
+    val x = wrap("recording", rec).copy(transcript = "a long recording about many things")
+    val y = wrap("excerpt", rec.slice(30 * FL, 110 * FL))
+      .copy(transcript = "totally unrelated words entirely")
+    val noise = (0 until 12).map(i => wrap(s"n_$i", structured(7000 + i, 120 * FL))
+      .copy(transcript = s"noise transcript number $i with filler words"))
+    val clips = (noise :+ x :+ y).toDS()
+
+    val off = DedupPipeline.run(clips, DedupConfig(strategy = "shuffle"))
+      .clusters.collect().map(r => r.clip_id -> r.cluster_id).toMap
+    assert(off("recording") != off("excerpt"), "containment off must NOT merge")
+
+    val on = DedupPipeline.run(clips,
+      DedupConfig(strategy = "shuffle", useAudioContainment = true))
+    val cl = on.clusters.collect().map(r => r.clip_id -> r.cluster_id).toMap
+    assert(cl("recording") == cl("excerpt"), "containment channel must merge excerpt+recording")
+    val ctEdges = on.edges.collect().filter(_.kind == "audio_contain")
+    assert(ctEdges.nonEmpty &&
+      ctEdges.forall(e => Set(e.a, e.b) == Set("excerpt", "recording")),
+      s"expected only the (excerpt, recording) containment edge, got ${ctEdges.take(5).mkString(",")}")
+  }
+
   test("containment beyond the stored envelope prefix is dropped (documented verify bound)") {
     import spark.implicits._
     val outer = structured(11L, 150 * FL)
