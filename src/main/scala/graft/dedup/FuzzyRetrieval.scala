@@ -548,6 +548,83 @@ object FuzzyRetrieval {
     out
   }
 
+  /** Eval-index construction + the per-row contamination predicate shared
+    * by [[decontaminate]] (batch) and
+    * [[graft.streaming.StreamingDedup.decontaminateStream]]: tokenizes the
+    * eval set under the loud hygiene contract (ANY eval row dropped by the
+    * tokenize filters fails the call — a silently unprotected benchmark row
+    * is the worst failure mode), broadcasts it once, and returns a
+    * mapPartitions-ready flagger emitting `(clip, contaminated?)`. A row
+    * whose transcript tokenizes empty is clean by definition (nothing to
+    * probe — the P2 empty-segment filter); a corpus row beyond
+    * `cfg.maxTokensInPattern` skips the fuzzy DP (reference P4 cap, counted
+    * in `fuzzySkippedOverLength`) but its containment sweep still runs.
+    * The returned broadcast is owned by the caller: a streaming query
+    * shares it across every micro-batch for the query's lifetime; the
+    * batch path destroys it once its flagged-id set has collected. */
+  private[graft] def deconFlagger(
+      evalSet: Dataset[Clip],
+      cfg: DedupConfig,
+      alsoContained: Boolean,
+      fuzzySkippedOverLength: Option[org.apache.spark.util.LongAccumulator])
+      : (Iterator[Clip] => Iterator[(Clip, Boolean)],
+         org.apache.spark.broadcast.Broadcast[Array[TokRow]]) = {
+    val spark = evalSet.sparkSession
+    val nEval = evalSet.count()
+    val evalRows = collectGuarded(TokenizeStage(evalSet, cfg), cfg)
+    require(evalRows.length == nEval,
+      s"${nEval - evalRows.length} of $nEval eval rows were dropped by the tokenize " +
+        s"filters (empty transcript, or > maxTokensInPattern=${cfg.maxTokensInPattern} " +
+        "tokens) — decontamination must not silently unprotect benchmark rows; raise " +
+        "cfg.maxTokensInPattern or clean the eval table first")
+    val bc = spark.sparkContext.broadcast(evalRows)
+    val bcId = bc.id
+
+    val params = Matcher.Params(
+      fuzzy = cfg.threshold,
+      numberOfMatches = 1, // any hit flags the row
+      noPerfect = false,
+      minSubseqLength = cfg.minSubseqLength,
+      minSubseqRatio = cfg.minSubseqRatio,
+      vocabIdfPenalty = cfg.vocabIdfPenalty,
+      editCosts = cfg.editCosts,
+      maxTokensInPattern = cfg.maxTokensInPattern)
+    val useIdf = cfg.vocabIdfPenalty != 0f
+    val pt = cfg.pt
+    val withContained = alsoContained
+    val maxTok = cfg.maxTokensInPattern
+
+    val fn = (it: Iterator[Clip]) => {
+      val (index, docs, rows, df) = BroadcastVerifyStage.indexFor(bcId, bc.value, useIdf)
+      val n = rows.length
+      val idfMax = if (useIdf) math.log(n.toDouble).toFloat else 0.01f
+      val minEvalLen =
+        if (rows.isEmpty) 2 else math.max(2, rows.iterator.map(_.n_tokens).min)
+      it.map { c =>
+        val ts = Tokenizer.tokenize(c.transcript, pt)
+        if (ts.norm.isEmpty) (c, false)
+        else {
+          val pids = Hashing.tokenIds(ts.norm)
+          val pattern = Doc(pids, ts.real, ts.itoks)
+          val idf =
+            if (useIdf) pids.map { id =>
+              val d = df.getOrElse(id, 0)
+              if (d > 0) math.log((n.toFloat / d.toFloat).toDouble).toFloat else 0f
+            } else null
+          if (pids.length > maxTok) fuzzySkippedOverLength.foreach(_.add(1))
+          val hit =
+            Matcher.matchPattern(index, docs(_), pattern, params, idf, idfMax).nonEmpty || {
+              withContained &&
+                index.longestMatches(pids, minEvalLen, 0f, params.editCosts)
+                  .exists { case (sIdx, len) => len >= index.sentenceLengthOf(sIdx) }
+            }
+          (c, hit)
+        }
+      }
+    }
+    (fn, bc)
+  }
+
   /** Decontamination — the training-data hygiene operator built directly on
     * the broadcast retrieval path: drop every corpus row whose transcript
     * fuzzy-matches ANY row of the (small) eval/benchmark table at
@@ -591,57 +668,10 @@ object FuzzyRetrieval {
       : (Dataset[Clip], Dataset[Clip]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val nEval = evalSet.count()
-    val evalRows = collectGuarded(TokenizeStage(evalSet, cfg), cfg)
-    require(evalRows.length == nEval,
-      s"${nEval - evalRows.length} of $nEval eval rows were dropped by the tokenize " +
-        s"filters (empty transcript, or > maxTokensInPattern=${cfg.maxTokensInPattern} " +
-        "tokens) — decontamination must not silently unprotect benchmark rows; raise " +
-        "cfg.maxTokensInPattern or clean the eval table first")
-    val bc = spark.sparkContext.broadcast(evalRows)
-    val bcId = bc.id
-
-    val params = Matcher.Params(
-      fuzzy = cfg.threshold,
-      numberOfMatches = 1, // any hit flags the row
-      noPerfect = false,
-      minSubseqLength = cfg.minSubseqLength,
-      minSubseqRatio = cfg.minSubseqRatio,
-      vocabIdfPenalty = cfg.vocabIdfPenalty,
-      editCosts = cfg.editCosts,
-      maxTokensInPattern = cfg.maxTokensInPattern)
-    val useIdf = cfg.vocabIdfPenalty != 0f
-    val pt = cfg.pt
-    val withContained = alsoContained
-    val maxTok = cfg.maxTokensInPattern
+    val (flagFn, bc) = deconFlagger(evalSet, cfg, alsoContained, fuzzySkippedOverLength)
 
     val flaggedIds = corpus.mapPartitions { it =>
-      val (index, docs, rows, df) = BroadcastVerifyStage.indexFor(bcId, bc.value, useIdf)
-      val n = rows.length
-      val idfMax = if (useIdf) math.log(n.toDouble).toFloat else 0.01f
-      val minEvalLen =
-        if (rows.isEmpty) 2 else math.max(2, rows.iterator.map(_.n_tokens).min)
-      it.flatMap { c =>
-        val ts = Tokenizer.tokenize(c.transcript, pt)
-        if (ts.norm.isEmpty) Iterator.empty
-        else {
-          val pids = Hashing.tokenIds(ts.norm)
-          val pattern = Doc(pids, ts.real, ts.itoks)
-          val idf =
-            if (useIdf) pids.map { id =>
-              val d = df.getOrElse(id, 0)
-              if (d > 0) math.log((n.toFloat / d.toFloat).toDouble).toFloat else 0f
-            } else null
-          if (pids.length > maxTok) fuzzySkippedOverLength.foreach(_.add(1))
-          val hit =
-            Matcher.matchPattern(index, docs(_), pattern, params, idf, idfMax).nonEmpty || {
-              withContained &&
-                index.longestMatches(pids, minEvalLen, 0f, params.editCosts)
-                  .exists { case (sIdx, len) => len >= index.sentenceLengthOf(sIdx) }
-            }
-          if (hit) Iterator.single(c.clip_id) else Iterator.empty
-        }
-      }
+      flagFn(it).collect { case (c, true) => c.clip_id }
     }.toDF("flagged_id").persist()
     val nFlagged = flaggedIds.count()
 

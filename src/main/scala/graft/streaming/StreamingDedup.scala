@@ -392,6 +392,46 @@ object StreamingDedup {
       noPerfect: Boolean = false): Dataset[graft.dedup.RetrievalRow] =
     graft.dedup.FuzzyRetrieval.topk(queryStream, corpus, cfg, numberOfMatches, noPerfect)
 
+  /** Streaming eval-set decontamination — the hygiene operator on the
+    * ingest path: every arriving clip is probed against the static eval
+    * index with EXACTLY the batch
+    * [[graft.dedup.FuzzyRetrieval.decontaminate]] predicate (fuzzy match ≥
+    * `cfg.threshold`; verbatim containment via the J2 sweep when
+    * `alsoContained`), and emitted tagged `(clip, contaminated)` so the
+    * caller routes clean rows to the training sink and QUARANTINES flagged
+    * ones — dropping them silently would hide the leakage the operator
+    * exists to surface, so the tag is the API (flatten for an untyped sink
+    * with `.select(col("_1.*"), col("_2").as("contaminated"))`). Stateless
+    * and shuffle-free per micro-batch (append mode, no watermark): the eval
+    * index is ONE broadcast built at stream definition under the same loud
+    * hygiene contract as batch (any eval row dropped by the tokenize
+    * filters fails the call), shared by every micro-batch — the unbounded
+    * axis is the corpus stream, exactly the batch operator's scale shape
+    * with the probe side streaming. `flaggedRows` /
+    * `fuzzySkippedOverLength` count across batches (accumulators survive
+    * the query's lifetime). Works on both streaming and batch Datasets
+    * (narrow ops only), so stream-vs-batch equality is testable on the
+    * same code path. */
+  def decontaminateStream(
+      streamClips: Dataset[Clip],
+      evalSet: Dataset[Clip],
+      cfg: DedupConfig,
+      alsoContained: Boolean = false,
+      fuzzySkippedOverLength: Option[org.apache.spark.util.LongAccumulator] = None,
+      flaggedRows: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[(Clip, Boolean)] = {
+    val spark = streamClips.sparkSession
+    import spark.implicits._
+    val (flagFn, _) = graft.dedup.FuzzyRetrieval
+      .deconFlagger(evalSet, cfg, alsoContained, fuzzySkippedOverLength)
+    streamClips.mapPartitions { it =>
+      flagFn(it).map { case (c, f) =>
+        if (f) flaggedRows.foreach(_.add(1))
+        (c, f)
+      }
+    }
+  }
+
   /** Streaming index maintenance: arriving clips are appended to a
     * persisted retrieval index per micro-batch
     * ([[graft.dedup.FuzzyRetrieval.appendIndex]] inside `foreachBatch`) —

@@ -308,6 +308,60 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(plain != got, "idf penalty had no effect on edge scores — config ignored?")
   }
 
+  test("streaming decontamination tags contaminated clips == batch, across restart") {
+    import spark.implicits._
+    def clip(id: String, text: String) =
+      graft.data.Clip(id, Array.emptyByteArray, 16000, 0, "pcm_s16le", text)
+    val words = (0 until 20).map(i => "w" + ("abcdefghijklmnopqrst" * 2)(i).toString * 3)
+    val filler = (0 until 10).map(i => "f" + ("abcdefghij" * 2)(i).toString * 3)
+    val evalSet = Seq(clip("e1", words.mkString(" "))).toDS()
+    val dcfg = DedupConfig(threshold = 0.8f)
+    // s1: one-word edit of e1 — the FUZZY probe flags it (19/20 = 0.95)
+    // s2: e1 verbatim inside a longer transcript — fuzzy can't clear 0.8
+    //     (20 matched of 30 pattern tokens), only CONTAINMENT flags it
+    // s3: unrelated — clean
+    val batch1 = Seq(
+      clip("s1", (words.dropRight(1) :+ "xx").mkString(" ")),
+      clip("s3", (0 until 20).map(i => "u" + ("abcdefghijklmnopqrst" * 2)(i).toString * 3)
+        .mkString(" ")))
+    val batch2 = Seq(clip("s2", (filler ++ words).mkString(" ")))
+
+    val inDir = java.nio.file.Files.createTempDirectory("stream-decon-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-decon-ckpt").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("stream-decon-sink").toString + "/out"
+    batch1.toDS().write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(StreamingDedup.clipSchema).parquet(inDir)
+      .as[graft.data.Clip]
+    val flagged = spark.sparkContext.longAccumulator("decon-flagged")
+    def runLeg(): Unit = {
+      val q = StreamingDedup.decontaminateStream(stream, evalSet, dcfg,
+          alsoContained = true, flaggedRows = Some(flagged))
+        .map { case (c, f) => (c.clip_id, f) }.toDF("clip_id", "contaminated")
+        .writeStream.outputMode(OutputMode.Append()).format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runLeg() // micro-batch 1
+    batch2.toDS().write.mode("append").parquet(inDir)
+    runLeg() // micro-batch 2 (restart from checkpoint, processes only the new file)
+
+    val streamed = spark.read.parquet(sinkDir)
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(streamed == Map("s1" -> true, "s2" -> true, "s3" -> false), streamed.toString)
+    assert(flagged.value == 2, s"flagged accumulator: ${flagged.value}")
+
+    // == the batch hygiene operator on the full input in one go
+    val (clean, batchFlagged) = graft.dedup.FuzzyRetrieval.decontaminate(
+      (batch1 ++ batch2).toDS(), evalSet, dcfg, alsoContained = true)
+    assert(batchFlagged.collect().map(_.clip_id).toSet ==
+      streamed.collect { case (id, true) => id }.toSet)
+    assert(clean.collect().map(_.clip_id).toSet ==
+      streamed.collect { case (id, false) => id }.toSet)
+  }
+
   test("streaming top-k retrieval against a static corpus matches the batch path") {
     import spark.implicits._
     val tm1 = Seq("aa bb cc dd", "aa bb bb aa cc dd", "aa ｟it｠ bb cc dd",
