@@ -119,11 +119,15 @@ object SynthCorpus {
   }
 
   /** Distributed generation: row i is a pure function of (seed, i), so the
-    * table is identical at any parallelism. */
+    * table is identical at any parallelism. `firstId` offsets the id range —
+    * `generate(n) ∪ generate(m, firstId = n)` equals `generate(n + m)` row
+    * for row, which is how the CLI synthesizes non-colliding increment
+    * batches for [[graft.dedup.IncrementalDedup]]. */
   def generate(spark: SparkSession, nRows: Long, seed: Long = 42L,
-               partitions: Int = 32): Dataset[Clip] = {
+               partitions: Int = 32, firstId: Long = 0L): Dataset[Clip] = {
     import spark.implicits._
-    spark.range(0, nRows, 1, partitions).mapPartitions(_.map(clipForId(_, seed)))
+    spark.range(firstId, firstId + nRows, 1, partitions)
+      .mapPartitions(_.map(clipForId(_, seed)))
   }
 
   /** Transcript-only local generation for oracle-side tests. */

@@ -1,0 +1,317 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.data.Clip
+import graft.kernel.Hashing
+
+/** Result of one dedup increment. `clusters` is the FULL updated assignment
+  * (prior corpus ∪ new batch); `newEdges` are the verified dup edges incident
+  * to the new batch; `mergedLabels` the (old_label → new_label) remaps the
+  * batch caused (tiny — merges only happen when a new clip bridges two
+  * existing clusters). */
+final case class IncrementalResult(
+    clusters: Dataset[ClusterRow],
+    newEdges: Dataset[Edge],
+    mergedLabels: DataFrame,
+    metrics: Seq[MetricRow])
+
+/** Incremental dedup — cluster a NEW batch of clips against an existing
+  * corpus + cluster assignment in O(new)-ish work, instead of re-running the
+  * whole pipeline over 10^12 rows per ingest batch. The clustering analog of
+  * [[FuzzyRetrieval.appendIndex]] (which fixed the same wall for retrieval:
+  * the reference's index is all-or-nothing, any insert costs a full O(N)
+  * re-sort, /root/reference/src/suffix_array.cc:24 — and its CLI has no
+  * notion of updating previously emitted match decisions at all).
+  *
+  * Why this is sound: the full run's cluster partition over old ∪ new is the
+  * connected components of oldEdges ∪ newIncidentEdges (old↔old edges are a
+  * deterministic function of the unchanged old corpus at the same config).
+  * The old components are already summarized by the existing labels — each
+  * label IS the component's min clip_id — so contracting every old endpoint
+  * to its label preserves both connectivity and the min-id cluster naming:
+  * CC over the contracted new-incident edge set alone yields exactly the
+  * full run's assignment for new clips, plus the label merges new bridges
+  * cause. No old↔old work is ever repeated.
+  *
+  * Work accounting per increment (the 10^12-row case):
+  *  - new batch: tokenize + signatures (narrow), candidate shuffles O(new
+  *    entries);
+  *  - old corpus: ONE narrow scan of the accumulated token/signature
+  *    checkpoints — the bucket-key prefilter (below) keeps old rows out of
+  *    every shuffle unless they share a shingle or band key with the batch;
+  *  - verify runs ONLY on new-incident pairs; CC runs on the contracted
+  *    touched subgraph (new ids + touched old labels);
+  *  - the updated assignment is an O(old) narrow rewrite (broadcast remap
+  *    join — merges are tiny), the same column-stitch cost the full pipeline
+  *    pays to write its clusters table.
+  *
+  * Bucket-key prefilter: the batch's shingle and band keys are collected
+  * (bounded by `prefilterMaxKeys`, sorted-array binary search on executors)
+  * and old rows sharing none of them are dropped BEFORE entry generation —
+  * a pair surfaced by the ngram/band channels shares a bucket key by
+  * definition, so the filter loses nothing on those channels. The tiny
+  * channels scan the full old token set narrowly (a containment host need
+  * not share any k-shingle). Past the key bound the prefilter switches off
+  * (full cross join, still correct) and says so in the metrics.
+  *
+  * Equality caveats, stated honestly:
+  *  - hot-bucket caps see per-increment dfs, not the accumulated corpus dfs,
+  *    so a bucket the full run would cap may survive here (MORE recall than
+  *    the full run, never less) — same class of designed divergence as the
+  *    valve itself, and the caps are counted as always;
+  *  - idf weighting and asymmetric insert/delete costs need corpus-global
+  *    state this path does not maintain — rejected loudly;
+  *  - the audio channels are batch-only here (their cross-table streaming
+  *    forms exist in [[graft.streaming.StreamingDedup]]) — rejected loudly
+  *    when enabled, rather than silently clustering on transcripts alone.
+  *
+  * State layout — immutable increments (lakehouse-snapshot style, the same
+  * philosophy as Iceberg snapshots the TableIO facade maps to): `priorDirs`
+  * is the lineage chain, head = a COMPLETED [[DedupPipeline.run]] checkpoint
+  * dir (`tokens`, `clusters`, optionally `signatures`), tail = prior
+  * increment output dirs in order. Each increment writes its own `outDir`
+  * (`new_tokens`, `new_signatures`, `new_edges`, `metrics`, then `clusters`
+  * LAST — the full updated assignment doubles as the commit marker). Prior
+  * dirs are never mutated, so a crashed increment is re-run by overwriting
+  * its outDir; compaction = re-running the full pipeline into a fresh head.
+  */
+object IncrementalDedup {
+
+  /** Keys above this bound skip the prefilter (a sorted Array[Long] of 4M
+    * keys ≈ 32 MB broadcast — past that, filtering costs more than it
+    * saves and the plain cross join takes over). */
+  val defaultPrefilterMaxKeys = 4000000
+
+  private def readIf(spark: SparkSession, dir: String, names: String*): Option[DataFrame] =
+    names.collectFirst {
+      case n if graft.data.TableIO.exists(spark, s"$dir/$n") =>
+        graft.data.TableIO.read(spark, s"$dir/$n")
+    }
+
+  /** Accumulated token rows across the lineage chain. */
+  def accumulatedToks(spark: SparkSession, priorDirs: Seq[String]): Dataset[TokRow] = {
+    import spark.implicits._
+    priorDirs.map { d =>
+      readIf(spark, d, "new_tokens", "tokens").getOrElse(
+        sys.error(s"no committed tokens/new_tokens table under $d — " +
+          "head must be a completed DedupPipeline.run checkpoint dir, " +
+          "tail entries completed IncrementalDedup outDirs")).as[TokRow]
+    }.reduce(_ union _)
+  }
+
+  /** Accumulated signatures; a dir without a signatures table (a
+    * broadcast-strategy pipeline run never writes one) recomputes them from
+    * its token segment — narrow, same kernel, deterministic. */
+  def accumulatedSigs(spark: SparkSession, priorDirs: Seq[String],
+      cfg: DedupConfig): Dataset[SigRow] = {
+    import spark.implicits._
+    priorDirs.map { d =>
+      readIf(spark, d, "new_signatures", "signatures").map(_.as[SigRow]).getOrElse(
+        SignatureStage(
+          readIf(spark, d, "new_tokens", "tokens").getOrElse(
+            sys.error(s"no committed tokens table under $d")).as[TokRow], cfg))
+    }.reduce(_ union _)
+  }
+
+  /** Run one increment. `priorDirs`: the lineage chain (see object doc);
+    * the LAST dir's `clusters` table is the current assignment. `outDir`:
+    * where to commit this increment's state (None = return results without
+    * committing — they are then this session's only copy). */
+  def run(
+      newClips: Dataset[Clip],
+      priorDirs: Seq[String],
+      cfg: DedupConfig,
+      outDir: Option[String] = None,
+      prefilterMaxKeys: Int = defaultPrefilterMaxKeys): IncrementalResult = {
+    val spark = newClips.sparkSession
+    import spark.implicits._
+    require(priorDirs.nonEmpty, "priorDirs must name at least the initial pipeline checkpoint")
+    require(cfg.vocabIdfPenalty == 0f,
+      "incremental dedup does not support idf weighting: the penalty needs " +
+        "corpus-global document frequencies this path does not maintain — run the " +
+        "full pipeline, or turn vocabIdfPenalty off")
+    require(cfg.editCosts.insert == cfg.editCosts.delete,
+      "incremental dedup requires symmetric insert/delete costs (the cross-table " +
+        "candidate channels pre-reject one-sidedly) — run the full pipeline")
+    require(!cfg.useAudioChannel && !cfg.useAudioContainment,
+      "incremental dedup covers the transcript channels only; the audio channels " +
+        "need a cross-table batch form — run the full pipeline with audio on, or " +
+        "stream audio edges via StreamingDedup.audioEdgesAgainstCorpus")
+
+    val metrics = scala.collection.mutable.ListBuffer.empty[MetricRow]
+    def timed(stage: String, rowsIn: => Long, extra: => Map[String, String] = Map.empty)(
+        body: => Long): Long = {
+      val t0 = System.nanoTime()
+      val rowsOut = body
+      metrics += MetricRow(stage, -1, rowsIn, rowsOut, (System.nanoTime() - t0) / 1000000L, extra)
+      rowsOut
+    }
+    val sc = spark.sparkContext
+
+    val priorClusters = {
+      val last = priorDirs.last
+      readIf(spark, last, "clusters").getOrElse(
+        sys.error(s"no committed clusters table under $last — prior state incomplete")).as[ClusterRow]
+    }
+    val oldToks = accumulatedToks(spark, priorDirs)
+
+    val nNew = newClips.count()
+    val newIds = newClips.select($"clip_id")
+    require(newIds.distinct().count() == nNew,
+      "duplicate clip_ids within the new batch — clip ids must be unique")
+    val collisions = priorClusters.join(newIds, Seq("clip_id"), "left_semi").count()
+    require(collisions == 0,
+      s"$collisions new clip_ids already exist in the prior assignment — an increment " +
+        "adds NEW rows; re-ingesting an id would leave two assignment rows for it")
+
+    // ---- stage 1: tokenize + signatures on the batch (narrow) ----
+    val newToks = TokenizeStage(newClips, cfg).persist()
+    val nNewToks = timed("inc_tokenize", nNew)(newToks.count())
+    val newSigs = SignatureStage(newToks, cfg).persist()
+
+    // ---- bucket-key prefilter: the batch's shingle + band key sets ----
+    val k = cfg.shingleK
+    val seed = cfg.seed
+    val perms = cfg.minhashPerms
+    val bands = cfg.minhashBands
+    def collectKeys(ds: Dataset[Long]): Option[Array[Long]] = {
+      val arr = ds.distinct().limit(prefilterMaxKeys + 1).collect()
+      if (arr.length > prefilterMaxKeys) None
+      else { java.util.Arrays.sort(arr); Some(arr) }
+    }
+    val shKeys = collectKeys(newToks.filter(_.n_tokens >= k)
+      .flatMap(t => Hashing.distinctShingles(t.ids, k).iterator))
+    val bandKeys = collectKeys(newSigs.flatMap(s => s.band_hashes.iterator.zipWithIndex
+      .map { case (h, bd) => Hashing.mix64(h ^ (bd * 0x9e3779b97f4a7c15L)) }))
+
+    // frontier = old rows that can possibly pair with the batch through the
+    // keyed channels; past the key bound the frontier is the whole old side
+    val frontierToks = shKeys match {
+      case Some(keys) =>
+        val bc = sc.broadcast(keys)
+        oldToks.filter { t =>
+          t.n_tokens >= k && Hashing.distinctShingles(t.ids, k)
+            .exists(h => java.util.Arrays.binarySearch(bc.value, h) >= 0)
+        }
+      case None => oldToks
+    }
+    lazy val oldSigs = accumulatedSigs(spark, priorDirs, cfg)
+    lazy val frontierSigs = bandKeys match {
+      case Some(keys) =>
+        val bc = sc.broadcast(keys)
+        oldSigs.filter(_.band_hashes.iterator.zipWithIndex.exists { case (h, bd) =>
+          java.util.Arrays.binarySearch(bc.value, Hashing.mix64(h ^ (bd * 0x9e3779b97f4a7c15L))) >= 0
+        })
+      case None => oldSigs
+    }
+
+    // ---- stage 2a: new-incident candidates ----
+    val cappedShingleBuckets = sc.longAccumulator("incCappedShingleBuckets")
+    val cappedShinglePairs = sc.longAccumulator("incCappedShinglePairsLost")
+    val cappedBandBuckets = sc.longAccumulator("incCappedBandBuckets")
+    val cappedTinyGramBuckets = sc.longAccumulator("incCappedTinyGramBuckets")
+
+    // new↔new: the pipeline's own self-join channels, restricted to the batch
+    val selfCands = CandidateStage(newToks, newSigs, cfg, cappedShingleBuckets,
+      cappedShinglePairs, cappedBandBuckets, cappedTinyGramBuckets)
+    // new↔old: cross channels; the keyed ones probe only the frontier, the
+    // tiny containment scans run against the FULL old side (both directions —
+    // a tiny host shares no k-shingle or band with its containee)
+    var crossCands = spark.emptyDataset[CandPair]
+    if (cfg.useNgramChannel)
+      crossCands = crossCands.union(
+        CandidateStage.crossNgramChannel(newToks, frontierToks, cfg, cappedShingleBuckets))
+    if (cfg.useMinhashChannel)
+      crossCands = crossCands.union(
+        CandidateStage.crossMinhashChannel(newSigs, frontierSigs, cfg, cappedBandBuckets))
+    crossCands = crossCands
+      .union(CandidateStage.crossTinyChannel(newToks, oldToks, cfg, cappedTinyGramBuckets))
+      .union(CandidateStage.crossTinyChannel(oldToks, newToks, cfg, cappedTinyGramBuckets))
+
+    // orient cross pairs like the self-join channels (pattern = shorter side
+    // — the laxer min-subsequence requirement; the symmetric-cost dup
+    // decision is direction-free only under this orientation), then dedup
+    val nTok = newToks.select($"clip_id", $"n_tokens")
+    val oTok = oldToks.select($"clip_id", $"n_tokens")
+    val lens = nTok.union(oTok)
+    val oriented = crossCands.toDF()
+      .join(lens.toDF("p", "p_n"), "p")
+      .join(lens.toDF("c", "c_n"), "c")
+      .select(
+        when($"p_n" < $"c_n" || ($"p_n" === $"c_n" && $"p" <= $"c"), $"p").otherwise($"c").as("p"),
+        when($"p_n" < $"c_n" || ($"p_n" === $"c_n" && $"p" <= $"c"), $"c").otherwise($"p").as("c"))
+      .as[CandPair]
+    val cands = selfCands.union(oriented).dropDuplicates("p", "c").as[CandPair].persist()
+    val nCands = timed("inc_candidates", nNewToks, Map(
+      "prefilter" -> (if (shKeys.isDefined && bandKeys.isDefined) "on" else "off"),
+      "capped_shingle_buckets" -> cappedShingleBuckets.value.toString,
+      "capped_band_buckets" -> cappedBandBuckets.value.toString,
+      "capped_tiny_gram_buckets" -> cappedTinyGramBuckets.value.toString))(cands.count())
+
+    // ---- stage 2b: verify — only the token rows the pairs touch shuffle ----
+    val candIds = cands.select($"p".as("clip_id")).union(cands.select($"c".as("clip_id"))).distinct()
+    val verifyToks = newToks.union(
+      oldToks.join(candIds, Seq("clip_id"), "left_semi").as[TokRow])
+    var newEdges: Dataset[Edge] = null
+    timed("inc_verify", nCands) {
+      newEdges = VerifyStage(verifyToks, cands, cfg).persist()
+      newEdges.count()
+    }
+    cands.unpersist()
+
+    // ---- stage 3: CC over the label-contracted touched subgraph ----
+    // old endpoints collapse to their existing labels (label = the old
+    // component's min clip_id, so min-id naming survives contraction)
+    val endpoints = newEdges.select($"a".as("clip_id")).union(newEdges.select($"b".as("clip_id"))).distinct()
+    val touched = priorClusters.join(endpoints, Seq("clip_id"), "left_semi").persist()
+    val aMap = touched.toDF("a", "a_label")
+    val bMap = touched.toDF("b", "b_label")
+    val contracted = newEdges.toDF()
+      .join(aMap, Seq("a"), "left")
+      .join(bMap, Seq("b"), "left")
+      .select(
+        coalesce($"a_label", $"a").as("a"), coalesce($"b_label", $"b").as("b"),
+        $"score", $"lcs", $"kind")
+      .as[Edge]
+    val touchedLabels = touched.select($"cluster_id".as("clip_id")).distinct()
+    val vertexUniverse = newIds.union(touchedLabels).distinct()
+    var sub: Dataset[ClusterRow] = null
+    timed("inc_cluster", nNew) {
+      sub = ConnectedComponents(contracted, vertexUniverse.toDF(),
+        cfg.ccMaxIterations, cfg.ccLocalEdgeCap).persist()
+      sub.count()
+    }
+
+    // label remaps: a touched old label whose contracted component found a
+    // smaller min (a new clip's id, or another old label it merged with)
+    val mergedLabels = sub.toDF()
+      .join(touchedLabels.toDF("clip_id"), Seq("clip_id"), "left_semi")
+      .filter($"cluster_id" =!= $"clip_id")
+      .select($"clip_id".as("old_label"), $"cluster_id".as("new_label"))
+      .localCheckpoint() // tiny: merges only
+    val newAssignments = sub
+      .join(newIds, Seq("clip_id"), "left_semi").as[ClusterRow]
+    val updatedOld = priorClusters.toDF()
+      .join(broadcast(mergedLabels), priorClusters("cluster_id") === mergedLabels("old_label"), "left")
+      .select($"clip_id", coalesce($"new_label", $"cluster_id").as("cluster_id"))
+      .as[ClusterRow]
+    val clusters = updatedOld.union(newAssignments)
+
+    // ---- commit (immutable increment dir; clusters written LAST) ----
+    outDir.foreach { dir =>
+      graft.data.TableIO.write(newToks.toDF(), s"$dir/new_tokens")
+      graft.data.TableIO.write(newSigs.toDF(), s"$dir/new_signatures")
+      graft.data.TableIO.write(newEdges.toDF(), s"$dir/new_edges")
+      metrics ++= Metrics.perPartition("new_tokens", newToks)
+      metrics ++= Metrics.perPartition("new_edges", newEdges)
+      graft.data.TableIO.write(metrics.toSeq.toDS().toDF(), s"$dir/metrics")
+      graft.data.TableIO.write(clusters.toDF(), s"$dir/clusters")
+    }
+    newToks.unpersist()
+    newSigs.unpersist()
+    touched.unpersist()
+    sub.unpersist()
+    IncrementalResult(clusters, newEdges, mergedLabels, metrics.toSeq)
+  }
+}

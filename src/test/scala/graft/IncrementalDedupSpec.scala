@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.data.Clip
+import graft.dedup.{DedupConfig, DedupPipeline, IncrementalDedup}
+
+/** Incremental dedup == the full pipeline re-run over the accumulated
+  * corpus, on fixtures exercising every incremental case: join an existing
+  * cluster, MERGE two existing clusters through a bridge clip, a new-only
+  * dup pair, singletons (incl. empty transcript), and a tiny-row dup whose
+  * NEW id is smaller than the old cluster's label (label remap). */
+class IncrementalDedupSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = DedupPipeline.sessionDefaults(
+    SparkSession.builder().master("local[4]").appName("incremental-spec"), 4)
+    .getOrCreate()
+
+  private val cfg = DedupConfig() // threshold 0.8, shingleK 3
+
+  private def clip(id: String, text: String) =
+    Clip(id, Array.emptyByteArray, 16000, 0, "pcm_s16le", text)
+
+  private def words(prefix: String): IndexedSeq[String] =
+    (0 until 20).map(i => prefix + ("abcdefghijklmnopqrst" * 2)(i).toString * 3)
+
+  private val W = words("w")
+  private val X = words("x")
+  private val Y = words("y")
+  private val V = words("v")
+
+  // old corpus: cluster {a1,a2} (19/20 near-dups, label a1); singletons cx,
+  // cy (15/20 = 0.75 < 0.8 — NOT dups of each other); tiny 2-token t1;
+  // unrelated singleton s1
+  private val oldClips = Seq(
+    clip("a1", W.mkString(" ")),
+    clip("a2", (W.dropRight(1) :+ "aedit").mkString(" ")),
+    clip("cx", X.mkString(" ")),
+    clip("cy", (X.take(15) ++ Y.drop(15)).mkString(" ")),
+    clip("t1", "tq1 tq2"),
+    clip("s1", words("s").mkString(" ")))
+
+  // new batch: n1 joins {a1,a2}; nb bridges cx (17/20) and cy (18/20) —
+  // MERGES two old clusters; n2a/n2b a new-only dup pair; ns singleton;
+  // ne empty transcript; nt tiny dup of t1 with nt < t1 lexicographically
+  // (the merged label becomes the NEW id)
+  private val newClips = Seq(
+    clip("n1", (W.dropRight(1) :+ "aedit").mkString(" ")), // exact dup of a2
+    clip("nb", (X.take(17) ++ Y.drop(17)).mkString(" ")),
+    clip("n2a", V.mkString(" ")),
+    clip("n2b", (V.dropRight(1) :+ "vedit").mkString(" ")),
+    clip("ns", words("q").mkString(" ")),
+    clip("ne", ""),
+    clip("nt", "tq1 tq2"))
+
+  private def clusterSet(rows: Array[graft.dedup.ClusterRow]): Set[(String, String)] =
+    rows.map(r => (r.clip_id, r.cluster_id)).toSet
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/d"
+
+  test("one increment == full pipeline over old ∪ new (join, merge, remap, singletons)") {
+    import spark.implicits._
+    val dir0 = freshDir("inc-base")
+    DedupPipeline.run(oldClips.toDS(), cfg, Some(dir0))
+
+    // sanity on the prior state: cx and cy are separate clusters before
+    val prior = spark.read.parquet(s"$dir0/clusters").as[graft.dedup.ClusterRow]
+      .collect().map(r => r.clip_id -> r.cluster_id).toMap
+    assert(prior("cx") == "cx" && prior("cy") == "cy" && prior("a2") == "a1")
+
+    val incDir = freshDir("inc-1")
+    val res = IncrementalDedup.run(newClips.toDS(), Seq(dir0), cfg, Some(incDir))
+    val got = clusterSet(res.clusters.collect())
+
+    val full = DedupPipeline.run((oldClips ++ newClips).toDS(), cfg)
+    val want = clusterSet(full.clusters.collect())
+    assert(got == want, s"incremental=$got\nfull=$want")
+
+    // the semantics, concretely
+    val m = got.toMap
+    assert(m("n1") == "a1" && m("a2") == "a1")            // joined existing cluster
+    assert(m("cx") == "cx" && m("cy") == "cx" && m("nb") == "cx") // merge via bridge
+    assert(m("n2a") == "n2a" && m("n2b") == "n2a")         // new-only dup pair
+    assert(m("ns") == "ns" && m("ne") == "ne" && m("s1") == "s1") // singletons
+    assert(m("t1") == "nt" && m("nt") == "nt")             // old label remapped to new min id
+    val merges = res.mergedLabels.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(merges == Set(("cy", "cx"), ("t1", "nt")), merges.toString)
+
+    // every emitted edge is incident to the batch; old↔old work never re-runs
+    val newIds = newClips.map(_.clip_id).toSet
+    res.newEdges.collect().foreach(e =>
+      assert(newIds.contains(e.a) || newIds.contains(e.b), s"old↔old edge leaked: $e"))
+
+    // committed increment layout: clusters (the commit marker) last, readable
+    assert(graft.data.TableIO.exists(spark, s"$incDir/clusters"))
+    assert(graft.data.TableIO.exists(spark, s"$incDir/new_tokens"))
+    assert(graft.data.TableIO.exists(spark, s"$incDir/metrics"))
+    assert(clusterSet(spark.read.parquet(s"$incDir/clusters")
+      .as[graft.dedup.ClusterRow].collect()) == want)
+  }
+
+  test("chained increments compose: inc2 over [base, inc1] == full over all three") {
+    import spark.implicits._
+    val dir0 = freshDir("inc-base2")
+    DedupPipeline.run(oldClips.toDS(), cfg, Some(dir0))
+    val inc1 = freshDir("inc-a")
+    IncrementalDedup.run(newClips.toDS(), Seq(dir0), cfg, Some(inc1))
+
+    // n3 dups n1 (an INCREMENT-1 row): found only if inc1's tokens count;
+    // n4 re-bridges nothing (fresh singleton)
+    val batch2 = Seq(
+      clip("n3", (W.dropRight(2) ++ Seq("aedit2", "aedit")).mkString(" ")),
+      clip("n4", words("r").mkString(" ")))
+    val res2 = IncrementalDedup.run(batch2.toDS(), Seq(dir0, inc1), cfg)
+    val got = clusterSet(res2.clusters.collect())
+
+    val full = DedupPipeline.run((oldClips ++ newClips ++ batch2).toDS(), cfg)
+    assert(got == clusterSet(full.clusters.collect()))
+    val m = got.toMap
+    assert(m("n3") == "a1" && m("n4") == "n4")
+  }
+
+  test("prefilter off (key bound exceeded) produces the identical assignment") {
+    import spark.implicits._
+    val dir0 = freshDir("inc-base3")
+    DedupPipeline.run(oldClips.toDS(), cfg, Some(dir0))
+    val on = IncrementalDedup.run(newClips.toDS(), Seq(dir0), cfg)
+    val off = IncrementalDedup.run(newClips.toDS(), Seq(dir0), cfg, prefilterMaxKeys = 0)
+    assert(clusterSet(on.clusters.collect()) == clusterSet(off.clusters.collect()))
+  }
+
+  test("loud guards: id collision, idf, audio channels, incomplete prior state") {
+    import spark.implicits._
+    val dir0 = freshDir("inc-base4")
+    DedupPipeline.run(oldClips.toDS(), cfg, Some(dir0))
+    val dup = Seq(clip("a1", "anything at all here")).toDS()
+    val e1 = intercept[IllegalArgumentException](
+      IncrementalDedup.run(dup, Seq(dir0), cfg))
+    assert(e1.getMessage.contains("already exist"))
+    val e2 = intercept[IllegalArgumentException](
+      IncrementalDedup.run(newClips.toDS(), Seq(dir0), cfg.copy(vocabIdfPenalty = 1f)))
+    assert(e2.getMessage.contains("idf"))
+    val e3 = intercept[IllegalArgumentException](
+      IncrementalDedup.run(newClips.toDS(), Seq(dir0), cfg.copy(useAudioChannel = true)))
+    assert(e3.getMessage.contains("audio"))
+    val e4 = intercept[RuntimeException](
+      IncrementalDedup.run(newClips.toDS(), Seq(freshDir("inc-empty")), cfg))
+    assert(e4.getMessage.contains("prior state incomplete"))
+  }
+}
