@@ -84,6 +84,27 @@ object Bench {
     }
     results("dedup_pipeline_synth") = pipeSec
     results("dedup_shuffle_synth") = shufSec
+
+    // incremental maintenance: fold a 10% batch into committed pipeline
+    // state (graft.dedup.IncrementalDedup) — the O(new) ingest path whose
+    // wall should sit far under the full re-run above at 10x the corpus
+    // ratio. State is built once outside the timed section; the timed runs
+    // do not commit (outDir=None), so min-of-2 reruns see identical state.
+    val nInc = math.max(nClips / 10, 100L)
+    val incState = java.nio.file.Files.createTempDirectory("bench-inc").toString + "/state"
+    DedupPipeline.run(clips, DedupConfig(shufflePartitions = cpus), Some(incState))
+    val incBatch = SynthCorpus.generate(spark, nInc, partitions = cpus * 2,
+      firstId = nClips).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    incBatch.count()
+    var incSec = Double.MaxValue
+    for (_ <- 1 to 2) {
+      val t0 = System.nanoTime()
+      graft.dedup.IncrementalDedup.run(incBatch, Seq(incState),
+        DedupConfig(shufflePartitions = cpus)).clusters.count()
+      incSec = math.min(incSec, (System.nanoTime() - t0) / 1e9)
+    }
+    incBatch.unpersist()
+    results("inc_ingest_synth") = incSec
     spark.stop()
 
     def jsonLine(scaling: String): String = {

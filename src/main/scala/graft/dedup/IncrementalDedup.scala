@@ -314,4 +314,137 @@ object IncrementalDedup {
     sub.unpersist()
     IncrementalResult(clusters, newEdges, mergedLabels, metrics.toSeq)
   }
+
+  // ---------------------------------------------------------------------
+  // Chain compaction + streaming-ingest state
+  // ---------------------------------------------------------------------
+
+  /** Merge a completed increment chain into ONE head dir shaped like a full
+    * [[DedupPipeline.run]] checkpoint (`tokens`, `signatures`, `clusters`) —
+    * the clustering analog of [[FuzzyRetrieval.compactIndex]]. Purely
+    * mechanical (narrow union reads + writes, no kernel recomputation): the
+    * chain's accumulated token/signature segments hold exactly the rows a
+    * fresh head would, and the last dir's `clusters` IS the current
+    * assignment. Without this a long-running [[ingestStep]] chain grows one
+    * dir per batch forever and [[accumulatedToks]] unions them all.
+    * Crash-safe: `clusters` is written LAST (the commit-marker convention),
+    * so a killed compaction leaves an ignorable orphan dir; the caller
+    * swaps the chain pointer only after this returns. */
+  def compact(spark: SparkSession, priorDirs: Seq[String], cfg: DedupConfig,
+      outDir: String): Unit = {
+    require(priorDirs.nonEmpty, "nothing to compact")
+    val clusters = readIf(spark, priorDirs.last, "clusters").getOrElse(
+      sys.error(s"no committed clusters table under ${priorDirs.last} — chain incomplete"))
+    graft.data.TableIO.write(accumulatedToks(spark, priorDirs).toDF(), s"$outDir/tokens")
+    graft.data.TableIO.write(accumulatedSigs(spark, priorDirs, cfg).toDF(), s"$outDir/signatures")
+    graft.data.TableIO.write(clusters, s"$outDir/clusters")
+  }
+
+  private def chainPathOf(stateDir: String) =
+    new org.apache.hadoop.fs.Path(stateDir, "chain.json")
+
+  /** Parse the chain meta: the ordered increment-dir names (relative to the
+    * state dir) plus the config fingerprint they were built with. */
+  def readChain(spark: SparkSession, stateDir: String): Option[(Seq[String], Int)] = {
+    val p = chainPathOf(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw =
+        try scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8).mkString
+        finally in.close()
+      val names = "\"dirs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(raw)
+        .getOrElse(sys.error(s"malformed chain meta at $p: $raw"))
+        .group(1).split(',').toSeq.filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      val cfgHash = "\"cfg_hash\":(-?\\d+)".r.findFirstMatchIn(raw)
+        .getOrElse(sys.error(s"malformed chain meta at $p: $raw")).group(1).toInt
+      Some((names, cfgHash))
+    }
+  }
+
+  /** Commit the chain pointer via temp + atomic rename. `expectPrev` is a
+    * best-effort lost-update guard for the documented single-writer
+    * contract: the meta is re-read immediately before the rename and a
+    * mismatch with the state this writer based its work on fails LOUDLY
+    * (a second concurrent ingest query on the same state dir) instead of
+    * silently orphaning its increments. No lock file on purpose — crash
+    * recovery (stream restart from checkpoint) must never require manual
+    * lock removal. */
+  def writeChain(spark: SparkSession, stateDir: String, names: Seq[String],
+      cfg: DedupConfig, expectPrev: Option[Seq[String]]): Unit = {
+    val p = chainPathOf(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = readChain(spark, stateDir).map(_._1)
+    require(now == expectPrev,
+      s"chain meta at $p changed underneath this writer (found $now, based on " +
+        s"$expectPrev) — two ingest queries are sharing one state dir; " +
+        "clusterIngest state is single-writer")
+    val tmp = new org.apache.hadoop.fs.Path(stateDir, "chain.json.tmp")
+    val meta = s"""{"version":1,"cfg_hash":${cfgFingerprint(cfg)},""" +
+      s""""dirs":[${names.map(n => "\"" + n + "\"").mkString(",")}]}"""
+    val out = fs.create(tmp, true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"could not commit chain meta at $p")
+  }
+
+  /** Match-semantics + candidate-generation fields that must agree across
+    * every batch of a chain (the reference's same-config-to-index-and-match
+    * rule, README.md:18). Execution knobs (partitions, caps, strategy) may
+    * differ run to run. */
+  private def cfgFingerprint(cfg: DedupConfig): Int =
+    (cfg.threshold, cfg.minSubseqLength, cfg.minSubseqRatio, cfg.pt,
+      cfg.maxTokensInPattern, cfg.editCosts, cfg.vocabIdfPenalty, cfg.shingleK,
+      cfg.minhashPerms, cfg.minhashBands, cfg.seed).hashCode()
+
+  /** One at-least-once ingest step over `batch`: bootstrap the chain with a
+    * full pipeline run on the first batch, increment on later ones, skip
+    * replayed batch ids (idempotent past the chain commit), and compact
+    * once the chain outgrows `compactAfterIncrements`. Shared by
+    * [[graft.streaming.StreamingDedup.clusterIngest]] and any batch driver
+    * looping over periodic drops. Crash windows: a dir committed but not
+    * yet in the chain is recomputed (deterministic, overwrite); a compaction
+    * committed but not yet swapped in re-triggers on the next step; orphan
+    * dirs from either window are never read. */
+  def ingestStep(batch: Dataset[Clip], batchId: Long, cfg: DedupConfig,
+      stateDir: String, compactAfterIncrements: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    readChain(spark, stateDir) match {
+      case None =>
+        val name = s"full_$batchId"
+        DedupPipeline.run(batch, cfg, Some(s"$stateDir/$name"))
+        writeChain(spark, stateDir, Seq(name), cfg, expectPrev = None)
+      case Some((names, storedHash)) =>
+        require(storedHash == cfgFingerprint(cfg),
+          s"config mismatch against chain state at $stateDir: the chain was built " +
+            "with different match semantics (threshold/costs/shingle/signature " +
+            "config) — an increment under a new config would mix incomparable " +
+            "decisions; re-bootstrap into a fresh state dir instead")
+        var chain = names
+        if (!chain.exists(_.endsWith(s"_$batchId"))) {
+          val name = s"inc_$batchId"
+          run(batch, chain.map(n => s"$stateDir/$n"), cfg, Some(s"$stateDir/$name"))
+          chain = chain :+ name
+          writeChain(spark, stateDir, chain, cfg, expectPrev = Some(names))
+        }
+        if (chain.size > compactAfterIncrements) {
+          val cname = s"compact_$batchId"
+          compact(spark, chain.map(n => s"$stateDir/$n"), cfg, s"$stateDir/$cname")
+          writeChain(spark, stateDir, Seq(cname), cfg, expectPrev = Some(chain))
+        }
+    }
+  }
+
+  /** The chain's current full cluster assignment (the last committed dir's
+    * `clusters` table). */
+  def currentClusters(spark: SparkSession, stateDir: String): Dataset[ClusterRow] = {
+    import spark.implicits._
+    val (names, _) = readChain(spark, stateDir).getOrElse(
+      sys.error(s"no chain state at $stateDir — nothing ingested yet"))
+    readIf(spark, s"$stateDir/${names.last}", "clusters").getOrElse(
+      sys.error(s"chain state at $stateDir names ${names.last} but its clusters " +
+        "table is missing — state corrupted")).as[ClusterRow]
+  }
 }

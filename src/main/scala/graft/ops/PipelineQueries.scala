@@ -522,6 +522,22 @@ object PipelineQueries {
     DedupPipeline.run(documentsAsClips(spark, dir), cfg).clusters.toDF()
   }
 
+  /** The same assignment computed INCREMENTALLY: bootstrap the pipeline on
+    * the ~90% of documents whose id does not end in 0, then fold the rest
+    * in as one [[IncrementalDedup]] batch against the committed state. Its
+    * committed checksum golden is IDENTICAL to q_dedup_clusters_check's, so
+    * the driver board pins increment == full re-run on its own tables (the
+    * designed cap divergence cannot bind at sf0.01 — caps are far above
+    * every bucket df there). */
+  def qIncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = DedupConfig(threshold = 0.8f)
+    val clips = documentsAsClips(spark, dir)
+    val state = java.nio.file.Files.createTempDirectory("q-inc-dedup").toString + "/base"
+    DedupPipeline.run(clips.filter(c => !c.clip_id.endsWith("0")), cfg, Some(state))
+    IncrementalDedup.run(clips.filter(_.clip_id.endsWith("0")), Seq(state), cfg)
+      .clusters.toDF()
+  }
+
   /** Dedup OUTPUT table: one surviving row per cluster, original columns
     * passed through (per-row invariant asserted in SurvivorsSpec). */
   def qDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
@@ -632,7 +648,11 @@ object PipelineQueries {
     "q_ann_lsh_check" -> ((s: SparkSession, d: String) => checksum(qAnnLsh(s, d))),
     "q_embed_dup_pairs_check" -> ((s: SparkSession, d: String) => checksum(qEmbedDupPairs(s, d, 0.45))),
     "q_audio_meta_check" -> ((s: SparkSession, d: String) => checksum(AudioOps.qAudioMeta(s, d))),
-    "q_audio_energy_check" -> ((s: SparkSession, d: String) => checksum(AudioOps.qAudioEnergy(s, d)))
+    "q_audio_energy_check" -> ((s: SparkSession, d: String) => checksum(AudioOps.qAudioEnergy(s, d))),
+    "q_dedup_clusters_check" -> ((s: SparkSession, d: String) => checksum(qDedupClusters(s, d))),
+    // MUST carry the same golden as q_dedup_clusters_check: the board-level
+    // increment == full-re-run pin (see qIncrementalClusters)
+    "q_incremental_clusters_check" -> ((s: SparkSession, d: String) => checksum(qIncrementalClusters(s, d)))
   )
 
   /** (n_rows, hash_sum) per checksum query on the driver's sf0.01 tables —
@@ -651,7 +671,10 @@ object PipelineQueries {
     "q_ann_lsh_check" -> (2500L, 1256452995907770L),
     "q_embed_dup_pairs_check" -> (14L, 6324466273070L),
     "q_audio_meta_check" -> (500L, 255835826848032L),
-    "q_audio_energy_check" -> (500L, 248428821493326L)
+    "q_audio_energy_check" -> (500L, 248428821493326L),
+    "q_dedup_clusters_check" -> (500L, 245821930578687L),
+    // same value by design: the board-level increment == full-re-run pin
+    "q_incremental_clusters_check" -> (500L, 245821930578687L)
   )
 
   /** sf0.01 VALUES goldens for [[checksumOracled]], committed from two
@@ -677,6 +700,7 @@ object PipelineQueries {
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_shuffle" -> (qDecontaminateShuffle _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_incremental_clusters" -> (qIncrementalClusters _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_dedup_survivors_medoid" -> (qDedupSurvivorsMedoid _),
     "q_audio_meta" -> (AudioOps.qAudioMeta _),

@@ -469,6 +469,37 @@ object StreamingDedup {
         }
       }
 
+  /** Streaming CLUSTER maintenance: arriving clips are folded into a
+    * persistent dedup cluster assignment per micro-batch
+    * ([[graft.dedup.IncrementalDedup.ingestStep]] inside `foreachBatch`) —
+    * continuous near-dup clustering of an unbounded ingest stream, the
+    * clustering counterpart of [[indexIngest]] and a composition the
+    * reference cannot express (its CLI emits per-query match decisions and
+    * never maintains an assignment at all). The first non-empty batch
+    * bootstraps the chain with a full [[graft.dedup.DedupPipeline.run]];
+    * each later batch runs one O(new)-ish increment and commits an
+    * immutable chain dir; past `compactAfterIncrements` dirs the chain is
+    * compacted into one head. Delivery is the engine's at-least-once
+    * `foreachBatch` contract made idempotent by the chain meta: a batch
+    * replayed after its chain commit is skipped by batch id, one replayed
+    * before it recomputes the same deterministic increment. Read the
+    * live assignment with [[graft.dedup.IncrementalDedup.currentClusters]].
+    * State is single-writer per `stateDir` (enforced best-effort at every
+    * chain rewrite). */
+  def clusterIngest(
+      clips: Dataset[Clip],
+      cfg: DedupConfig,
+      stateDir: String,
+      compactAfterIncrements: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[Clip] =
+    clips.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Clip], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.dedup.IncrementalDedup.ingestStep(
+            batch, batchId, cfg, stateDir, compactAfterIncrements)
+        }
+      }
+
   /** End-to-end streaming signature extraction from a parquet directory
     * source to a sink table, used by tests and as the ingest-job template. */
   def runSignatureIngest(

@@ -131,6 +131,58 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(clusterSet(on.clusters.collect()) == clusterSet(off.clusters.collect()))
   }
 
+  test("compact merges a chain into one head; increments over it are unchanged") {
+    import spark.implicits._
+    val dir0 = freshDir("cmp-base")
+    DedupPipeline.run(oldClips.toDS(), cfg, Some(dir0))
+    val inc1 = freshDir("cmp-inc1")
+    IncrementalDedup.run(newClips.toDS(), Seq(dir0), cfg, Some(inc1))
+
+    val head = freshDir("cmp-head")
+    IncrementalDedup.compact(spark, Seq(dir0, inc1), cfg, head)
+    // the head is shaped like a full-run checkpoint and holds the chain state
+    assert(graft.data.TableIO.exists(spark, s"$head/tokens"))
+    assert(graft.data.TableIO.exists(spark, s"$head/signatures"))
+    assert(clusterSet(spark.read.parquet(s"$head/clusters")
+      .as[graft.dedup.ClusterRow].collect()) ==
+      clusterSet(spark.read.parquet(s"$inc1/clusters")
+        .as[graft.dedup.ClusterRow].collect()))
+
+    // a further increment over the compacted head == over the full chain
+    val batch2 = Seq(
+      clip("n3", (W.dropRight(2) ++ Seq("aedit2", "aedit")).mkString(" ")),
+      clip("n4", words("r").mkString(" ")))
+    val viaHead = IncrementalDedup.run(batch2.toDS(), Seq(head), cfg)
+    val viaChain = IncrementalDedup.run(batch2.toDS(), Seq(dir0, inc1), cfg)
+    assert(clusterSet(viaHead.clusters.collect()) == clusterSet(viaChain.clusters.collect()))
+  }
+
+  test("ingestStep: bootstrap, increment, batch-id replay skip, auto-compact, config pin") {
+    import spark.implicits._
+    val state = freshDir("ing-state")
+    // batch 0 bootstraps with a full pipeline run
+    IncrementalDedup.ingestStep(oldClips.toDS(), 0L, cfg, state, compactAfterIncrements = 1)
+    assert(IncrementalDedup.readChain(spark, state).get._1 == Seq("full_0"))
+    // batch 1 increments, then the chain (2 dirs > 1) compacts immediately
+    IncrementalDedup.ingestStep(newClips.toDS(), 1L, cfg, state, compactAfterIncrements = 1)
+    assert(IncrementalDedup.readChain(spark, state).get._1 == Seq("compact_1"))
+    val got = clusterSet(IncrementalDedup.currentClusters(spark, state).collect())
+    val full = DedupPipeline.run((oldClips ++ newClips).toDS(), cfg)
+    assert(got == clusterSet(full.clusters.collect()))
+    // replaying batch 1 after its commit is a no-op (at-least-once safety)
+    IncrementalDedup.ingestStep(newClips.toDS(), 1L, cfg, state, compactAfterIncrements = 1)
+    assert(IncrementalDedup.readChain(spark, state).get._1 == Seq("compact_1"))
+    assert(clusterSet(IncrementalDedup.currentClusters(spark, state).collect()) == got)
+    // a semantics-config change against existing state fails loudly
+    val e = intercept[IllegalArgumentException](IncrementalDedup.ingestStep(
+      Seq(clip("z9", "zz yy xx ww")).toDS(), 2L, cfg.copy(threshold = 0.5f), state))
+    assert(e.getMessage.contains("config mismatch"))
+    // ...but execution-knob changes are allowed
+    IncrementalDedup.ingestStep(Seq(clip("z9", "zz yy xx ww")).toDS(), 2L,
+      cfg.copy(shufflePartitions = 8), state, compactAfterIncrements = 10)
+    assert(IncrementalDedup.readChain(spark, state).get._1 == Seq("compact_1", "inc_2"))
+  }
+
   test("loud guards: id collision, idf, audio channels, incomplete prior state") {
     import spark.implicits._
     val dir0 = freshDir("inc-base4")

@@ -279,6 +279,47 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(ids == Set("base", "s1", "s2"), s"streamed index rows missing from match: $ids")
   }
 
+  test("streaming cluster ingest: bootstrap + increment across restart == full pipeline, auto-compacts") {
+    import spark.implicits._
+    def clip(id: String, text: String) =
+      graft.data.Clip(id, Array.emptyByteArray, 16000, 0, "pcm_s16le", text)
+    def sent(prefix: String): String =
+      (0 until 20).map(i => prefix + ("abcdefghijklmnopqrst" * 2)(i).toString * 3).mkString(" ")
+    val batch1 = Seq(clip("a1", sent("w")), clip("cx", sent("x")), clip("s1", sent("s")))
+    val batch2 = Seq(
+      clip("a2", sent("w").split(' ').dropRight(1).mkString(" ") + " aedit"), // dups a1
+      clip("nq", sent("q")))
+
+    val icfg = DedupConfig(shufflePartitions = 4)
+    val stateDir = java.nio.file.Files.createTempDirectory("stream-clu").toString + "/state"
+    val inDir = java.nio.file.Files.createTempDirectory("stream-clu-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-clu-ckpt").toString
+    batch1.toDS().write.mode("overwrite").parquet(inDir)
+    def runLeg(): Unit = {
+      val stream = spark.readStream.schema(StreamingDedup.clipSchema).parquet(inDir)
+        .as[graft.data.Clip]
+      val q = StreamingDedup.clusterIngest(stream, icfg, stateDir, compactAfterIncrements = 1)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runLeg() // micro-batch 0 bootstraps the chain
+    val chain0 = graft.dedup.IncrementalDedup.readChain(spark, stateDir).get._1
+    assert(chain0.length == 1 && chain0.head.startsWith("full_"), chain0.toString)
+    batch2.toDS().write.mode("append").parquet(inDir)
+    runLeg() // restart from checkpoint: only the new file arrives, then the
+             // 2-dir chain (> 1) compacts
+    val chain1 = graft.dedup.IncrementalDedup.readChain(spark, stateDir).get._1
+    assert(chain1.length == 1 && chain1.head.startsWith("compact_"), chain1.toString)
+
+    val got = graft.dedup.IncrementalDedup.currentClusters(spark, stateDir)
+      .collect().map(r => (r.clip_id, r.cluster_id)).toSet
+    val full = DedupPipeline.run((batch1 ++ batch2).toDS(), icfg)
+    val want = full.clusters.collect().map(r => (r.clip_id, r.cluster_id)).toSet
+    assert(got == want, s"stream=$got\nbatch=$want")
+    assert(got.toMap.apply("a2") == "a1") // the cross-batch dup actually clustered
+  }
+
   test("near-dup edges honor the idf config (== full-index matcher with idf)") {
     import spark.implicits._
     def clip(id: String, text: String) =
