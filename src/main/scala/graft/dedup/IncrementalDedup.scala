@@ -166,9 +166,21 @@ object IncrementalDedup {
         "adds NEW rows; re-ingesting an id would leave two assignment rows for it")
 
     // ---- stage 1: tokenize + signatures on the batch (narrow) ----
-    val newToks = TokenizeStage(newClips, cfg).persist()
-    val nNewToks = timed("inc_tokenize", nNew)(newToks.count())
-    val newSigs = SignatureStage(newToks, cfg).persist()
+    // Every O(new)-sized intermediate is EAGERLY localCheckpoint'ed, not
+    // persist'ed: a persist keeps the full logical plan alive, and the
+    // increment's plan unions channel trees over the whole lineage chain —
+    // with AQE re-optimizing that tree once per query stage per action,
+    // driver planning time dwarfed execution (measured: 343 jobs / 821 s of
+    // single-threaded Catalyst CPU for a 300-clip batch). Checkpointing
+    // truncates each stage's plan to a scan of the materialized rows; the
+    // blocks are batch-sized, and the committed outDir tables are the
+    // durable copy a production cluster would recover from.
+    var newToks: Dataset[TokRow] = null
+    val nNewToks = timed("inc_tokenize", nNew) {
+      newToks = TokenizeStage(newClips, cfg).localCheckpoint()
+      newToks.count()
+    }
+    val newSigs = SignatureStage(newToks, cfg).localCheckpoint()
 
     // ---- bucket-key prefilter: the batch's shingle + band key sets ----
     val k = cfg.shingleK
@@ -242,12 +254,15 @@ object IncrementalDedup {
         when($"p_n" < $"c_n" || ($"p_n" === $"c_n" && $"p" <= $"c"), $"p").otherwise($"c").as("p"),
         when($"p_n" < $"c_n" || ($"p_n" === $"c_n" && $"p" <= $"c"), $"c").otherwise($"p").as("c"))
       .as[CandPair]
-    val cands = selfCands.union(oriented).dropDuplicates("p", "c").as[CandPair].persist()
+    var cands: Dataset[CandPair] = null
     val nCands = timed("inc_candidates", nNewToks, Map(
       "prefilter" -> (if (shKeys.isDefined && bandKeys.isDefined) "on" else "off"),
       "capped_shingle_buckets" -> cappedShingleBuckets.value.toString,
       "capped_band_buckets" -> cappedBandBuckets.value.toString,
-      "capped_tiny_gram_buckets" -> cappedTinyGramBuckets.value.toString))(cands.count())
+      "capped_tiny_gram_buckets" -> cappedTinyGramBuckets.value.toString)) {
+      cands = selfCands.union(oriented).dropDuplicates("p", "c").as[CandPair].localCheckpoint()
+      cands.count()
+    }
 
     // ---- stage 2b: verify — only the token rows the pairs touch shuffle ----
     val candIds = cands.select($"p".as("clip_id")).union(cands.select($"c".as("clip_id"))).distinct()
@@ -255,16 +270,15 @@ object IncrementalDedup {
       oldToks.join(candIds, Seq("clip_id"), "left_semi").as[TokRow])
     var newEdges: Dataset[Edge] = null
     timed("inc_verify", nCands) {
-      newEdges = VerifyStage(verifyToks, cands, cfg).persist()
+      newEdges = VerifyStage(verifyToks, cands, cfg).localCheckpoint()
       newEdges.count()
     }
-    cands.unpersist()
 
     // ---- stage 3: CC over the label-contracted touched subgraph ----
     // old endpoints collapse to their existing labels (label = the old
     // component's min clip_id, so min-id naming survives contraction)
     val endpoints = newEdges.select($"a".as("clip_id")).union(newEdges.select($"b".as("clip_id"))).distinct()
-    val touched = priorClusters.join(endpoints, Seq("clip_id"), "left_semi").persist()
+    val touched = priorClusters.join(endpoints, Seq("clip_id"), "left_semi").localCheckpoint()
     val aMap = touched.toDF("a", "a_label")
     val bMap = touched.toDF("b", "b_label")
     val contracted = newEdges.toDF()
@@ -279,7 +293,7 @@ object IncrementalDedup {
     var sub: Dataset[ClusterRow] = null
     timed("inc_cluster", nNew) {
       sub = ConnectedComponents(contracted, vertexUniverse.toDF(),
-        cfg.ccMaxIterations, cfg.ccLocalEdgeCap).persist()
+        cfg.ccMaxIterations, cfg.ccLocalEdgeCap).localCheckpoint()
       sub.count()
     }
 
@@ -308,10 +322,8 @@ object IncrementalDedup {
       graft.data.TableIO.write(metrics.toSeq.toDS().toDF(), s"$dir/metrics")
       graft.data.TableIO.write(clusters.toDF(), s"$dir/clusters")
     }
-    newToks.unpersist()
-    newSigs.unpersist()
-    touched.unpersist()
-    sub.unpersist()
+    // no unpersists: the checkpointed blocks back the returned datasets and
+    // are batch-sized; the ContextCleaner reclaims them once unreferenced
     IncrementalResult(clusters, newEdges, mergedLabels, metrics.toSeq)
   }
 
