@@ -241,6 +241,14 @@ object DedupPipeline {
     }
 
     checkpointDir.foreach { dir =>
+      // commit signatures even on the broadcast path (which never computes
+      // them): a committed dir doubles as IncrementalDedup chain state, and
+      // without this table every increment re-runs the 96-perm MinHash
+      // kernel over the ENTIRE old corpus just to build its band frontier —
+      // an O(old) compute wall paid per batch forever. One narrow job at
+      // commit time buys a pruned parquet read per increment instead.
+      if (cfg.useMinhashChannel && !exists(spark, stagePath(dir, "signatures")))
+        graft.data.TableIO.write(SignatureStage(toks, cfg).toDF(), stagePath(dir, "signatures"))
       // per-partition lineage rows alongside the stage-level metrics
       metrics ++= Metrics.perPartition("tokens", toks)
       metrics ++= Metrics.perPartition("edges", allEdgesCt)
