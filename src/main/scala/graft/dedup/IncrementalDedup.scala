@@ -145,14 +145,22 @@ object IncrementalDedup {
         "stream audio edges via StreamingDedup.audioEdgesAgainstCorpus")
 
     val metrics = scala.collection.mutable.ListBuffer.empty[MetricRow]
+    val sc = spark.sparkContext
+    // phase markers: every Spark job an increment fires carries its phase in
+    // spark.job.description (Spark UI / listener attribution — an increment
+    // is ~15 actions and the fixed per-job cost is its toy-scale floor, so
+    // per-phase job accounting is the first thing a regression hunt needs)
+    def phased[A](name: String)(body: => A): A = {
+      sc.setJobDescription(s"inc:$name")
+      try body finally sc.setJobDescription(null)
+    }
     def timed(stage: String, rowsIn: => Long, extra: => Map[String, String] = Map.empty)(
-        body: => Long): Long = {
+        body: => Long): Long = phased(stage) {
       val t0 = System.nanoTime()
       val rowsOut = body
       metrics += MetricRow(stage, -1, rowsIn, rowsOut, (System.nanoTime() - t0) / 1000000L, extra)
       rowsOut
     }
-    val sc = spark.sparkContext
 
     val priorClusters = {
       val last = priorDirs.last
@@ -161,11 +169,12 @@ object IncrementalDedup {
     }
     val oldToks = accumulatedToks(spark, priorDirs)
 
-    val nNew = newClips.count()
+    val nNew = phased("precheck")(newClips.count())
     val newIds = newClips.select($"clip_id")
-    require(newIds.distinct().count() == nNew,
+    require(phased("precheck")(newIds.distinct().count()) == nNew,
       "duplicate clip_ids within the new batch — clip ids must be unique")
-    val collisions = priorClusters.join(newIds, Seq("clip_id"), "left_semi").count()
+    val collisions = phased("precheck")(
+      priorClusters.join(newIds, Seq("clip_id"), "left_semi").count())
     require(collisions == 0,
       s"$collisions new clip_ids already exist in the prior assignment — an increment " +
         "adds NEW rows; re-ingesting an id would leave two assignment rows for it")
@@ -185,14 +194,14 @@ object IncrementalDedup {
       newToks = TokenizeStage(newClips, cfg).localCheckpoint()
       newToks.count()
     }
-    val newSigs = SignatureStage(newToks, cfg).localCheckpoint()
+    val newSigs = phased("signatures")(SignatureStage(newToks, cfg).localCheckpoint())
 
     // ---- bucket-key prefilter: the batch's shingle + band key sets ----
     val k = cfg.shingleK
     val seed = cfg.seed
     val perms = cfg.minhashPerms
     val bands = cfg.minhashBands
-    def collectKeys(ds: Dataset[Long]): Option[Array[Long]] = {
+    def collectKeys(ds: Dataset[Long]): Option[Array[Long]] = phased("prefilter_keys") {
       val arr = ds.distinct().limit(prefilterMaxKeys + 1).collect()
       if (arr.length > prefilterMaxKeys) None
       else { java.util.Arrays.sort(arr); Some(arr) }
@@ -207,10 +216,7 @@ object IncrementalDedup {
     val frontierToks = shKeys match {
       case Some(keys) =>
         val bc = sc.broadcast(keys)
-        oldToks.filter { t =>
-          t.n_tokens >= k && Hashing.distinctShingles(t.ids, k)
-            .exists(h => java.util.Arrays.binarySearch(bc.value, h) >= 0)
-        }
+        oldToks.filter(t => t.n_tokens >= k && Hashing.anyShingleIn(t.ids, k, bc.value))
       case None => oldToks
     }
     lazy val oldSigs = accumulatedSigs(spark, priorDirs, cfg)
@@ -283,7 +289,8 @@ object IncrementalDedup {
     // old endpoints collapse to their existing labels (label = the old
     // component's min clip_id, so min-id naming survives contraction)
     val endpoints = newEdges.select($"a".as("clip_id")).union(newEdges.select($"b".as("clip_id"))).distinct()
-    val touched = priorClusters.join(endpoints, Seq("clip_id"), "left_semi").localCheckpoint()
+    val touched = phased("touched_labels")(
+      priorClusters.join(endpoints, Seq("clip_id"), "left_semi").localCheckpoint())
     val aMap = touched.toDF("a", "a_label")
     val bMap = touched.toDF("b", "b_label")
     val contracted = newEdges.toDF()
@@ -308,11 +315,11 @@ object IncrementalDedup {
       .join(touchedLabels.toDF("clip_id"), Seq("clip_id"), "left_semi")
       .filter($"cluster_id" =!= $"clip_id")
       .select($"clip_id".as("old_label"), $"cluster_id".as("new_label"))
-      .localCheckpoint() // tiny: merges only
+    val mergedLabelsCk = phased("merged_labels")(mergedLabels.localCheckpoint()) // tiny: merges only
     val newAssignments = sub
       .join(newIds, Seq("clip_id"), "left_semi").as[ClusterRow]
     val updatedOld = priorClusters.toDF()
-      .join(broadcast(mergedLabels), priorClusters("cluster_id") === mergedLabels("old_label"), "left")
+      .join(broadcast(mergedLabelsCk), priorClusters("cluster_id") === mergedLabelsCk("old_label"), "left")
       .select($"clip_id", coalesce($"new_label", $"cluster_id").as("cluster_id"))
       .as[ClusterRow]
     val clusters = updatedOld.union(newAssignments)
@@ -329,7 +336,7 @@ object IncrementalDedup {
     }
     // no unpersists: the checkpointed blocks back the returned datasets and
     // are batch-sized; the ContextCleaner reclaims them once unreferenced
-    IncrementalResult(clusters, newEdges, mergedLabels, metrics.toSeq)
+    IncrementalResult(clusters, newEdges, mergedLabelsCk, metrics.toSeq)
   }
 
   // ---------------------------------------------------------------------

@@ -63,6 +63,25 @@ object Hashing {
     out.toArray
   }
 
+  /** True iff ANY k-shingle of `ids` is in `sortedKeys` (binary search).
+    * Allocation-free, short-circuiting — the incremental-dedup frontier
+    * filter runs this over EVERY old corpus row per increment, and this
+    * host (like a busy executor) punishes per-row HashSet/ArrayBuffer
+    * churn far more than the hash computation itself. Duplicate shingles
+    * are probed twice rather than deduplicated: membership is idempotent,
+    * so skipping the dedup set is pure savings. */
+  def anyShingleIn(ids: Array[Long], k: Int, sortedKeys: Array[Long]): Boolean = {
+    if (ids.length == 0) return false
+    val kk = math.min(k, ids.length)
+    val n = ids.length - kk + 1
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(sortedKeys, shingleHash(ids, i, kk)) >= 0) return true
+      i += 1
+    }
+    false
+  }
+
   /** MinHash signature over shingle hashes using the 2-universal trick
     * h_i(x) = mix(a_i * x + b_i); returns `perms` minima. */
   def minhash(shingles: Array[Long], perms: Int, seed: Long): Array[Long] = {

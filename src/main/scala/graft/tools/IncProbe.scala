@@ -28,7 +28,8 @@ object IncProbe {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobs.put(js.jobId, (System.nanoTime(),
-          Option(js.properties).flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")))
+          Option(js.properties).flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("?") + s"[${js.stageInfos.map(_.numTasks).sum}t]"))
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(jobs.remove(je.jobId)).foreach { case (t0, site) =>
           done.synchronized { done += ((je.jobId, (System.nanoTime() - t0) / 1e9, site)) }
@@ -45,7 +46,10 @@ object IncProbe {
     Thread.sleep(500)
     val d = done.synchronized(done.toList)
     println(f"INCPROBE wall=$wall%.1fs jobs=${d.size} jobsec=${d.map(_._2).sum}%.1f rows=$n")
-    d.sortBy(-_._2).take(25).foreach { case (id, s, site) => println(f"  job $id%3d $s%7.2fs  $site") }
+    d.groupBy(_._3.takeWhile(_ != '[')).toSeq.sortBy(-_._2.map(_._2).sum).foreach {
+      case (phase, js) => println(f"  phase ${phase}%-22s jobs=${js.size}%3d sec=${js.map(_._2).sum}%7.2f")
+    }
+    d.sortBy(-_._2).take(10).foreach { case (id, s, site) => println(f"  job $id%3d $s%7.2fs  $site") }
     spark.stop()
   }
 }
