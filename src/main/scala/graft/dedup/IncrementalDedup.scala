@@ -169,9 +169,12 @@ object IncrementalDedup {
     }
     val oldToks = accumulatedToks(spark, priorDirs)
 
-    val nNew = phased("precheck")(newClips.count())
     val newIds = newClips.select($"clip_id")
-    require(phased("precheck")(newIds.distinct().count()) == nNew,
+    val (nNew, nNewDistinct) = phased("precheck") {
+      val r = newIds.agg(count($"clip_id"), count_distinct($"clip_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nNewDistinct == nNew,
       "duplicate clip_ids within the new batch — clip ids must be unique")
     val collisions = phased("precheck")(
       priorClusters.join(newIds, Seq("clip_id"), "left_semi").count())
