@@ -183,6 +183,33 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(IncrementalDedup.readChain(spark, state).get._1 == Seq("compact_1", "inc_2"))
   }
 
+  test("one increment fires a BOUNDED number of Spark jobs (planning-pathology tripwire)") {
+    // Regression gate for the round-5 finding: persisted (not checkpointed)
+    // intermediates kept the full lineage plan alive and AQE re-optimized it
+    // per query stage per action — a 300-clip increment fired 343 jobs and
+    // spent 821 s of driver CPU in Catalyst. With eager localCheckpoint
+    // truncation an increment is ~90 jobs regardless of batch size; the cap
+    // below is that plus slack for Spark-version drift. Job WALLS are host
+    // lottery, job COUNT is deterministic — so the count is the tripwire.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import spark.implicits._
+    val base = freshDir("jobcount-base")
+    DedupPipeline.run(spark.createDataset(oldClips), cfg, Some(base))
+    val nJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = nJobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val res = IncrementalDedup.run(spark.createDataset(newClips), Seq(base), cfg)
+      res.clusters.count()
+      Thread.sleep(500) // listener bus drain (private API in Spark 4)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(nJobs.get() < 150,
+      s"one increment fired ${nJobs.get()} Spark jobs — the lineage-truncation " +
+        "discipline (eager localCheckpoint per O(new) intermediate) has regressed")
+  }
+
   test("loud guards: id collision, idf, audio channels, incomplete prior state") {
     import spark.implicits._
     val dir0 = freshDir("inc-base4")
