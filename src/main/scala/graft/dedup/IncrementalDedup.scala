@@ -192,9 +192,15 @@ object IncrementalDedup {
     // truncates each stage's plan to a scan of the materialized rows; the
     // blocks are batch-sized, and the committed outDir tables are the
     // durable copy a production cluster would recover from.
+    // batch-side partitioning sized to the BATCH, not the session default:
+    // an O(new) path whose input arrives in cluster-sized partitioning
+    // (e.g. a 2,400-row drop in 64 splits) otherwise schedules ~90 jobs of
+    // near-empty tasks; ~4k rows per partition keeps checkpoint blocks
+    // small while capping task churn. Never exceeds the input's own count.
+    val batchParts = math.max(1L, math.min(nNew / 4096 + 1, newClips.rdd.getNumPartitions.toLong)).toInt
     var newToks: Dataset[TokRow] = null
     val nNewToks = timed("inc_tokenize", nNew) {
-      newToks = TokenizeStage(newClips, cfg).localCheckpoint()
+      newToks = TokenizeStage(newClips.coalesce(batchParts), cfg).localCheckpoint()
       newToks.count()
     }
     val newSigs = phased("signatures")(SignatureStage(newToks, cfg).localCheckpoint())
