@@ -151,8 +151,11 @@ object IncrementalDedup {
     // is ~15 actions and the fixed per-job cost is its toy-scale floor, so
     // per-phase job accounting is the first thing a regression hunt needs)
     def phased[A](name: String)(body: => A): A = {
+      val prev = sc.getLocalProperty("spark.job.description")
       sc.setJobDescription(s"inc:$name")
-      try body finally sc.setJobDescription(null)
+      // restore the CALLER's description, not null — under foreachBatch the
+      // streaming engine's batch attribution must survive this increment
+      try body finally sc.setJobDescription(prev)
     }
     def timed(stage: String, rowsIn: => Long, extra: => Map[String, String] = Map.empty)(
         body: => Long): Long = phased(stage) {
@@ -170,10 +173,16 @@ object IncrementalDedup {
     val oldToks = accumulatedToks(spark, priorDirs)
 
     val newIds = newClips.select($"clip_id")
-    val (nNew, nNewDistinct) = phased("precheck") {
-      val r = newIds.agg(count($"clip_id"), count_distinct($"clip_id")).head()
-      (r.getLong(0), r.getLong(1))
+    // count(lit(1)) counts every row while count/count_distinct(col) skip
+    // nulls — comparing all three keeps BOTH guards: a null clip_id and a
+    // duplicate clip_id each fail loudly (a null key would otherwise flow
+    // through the stages and silently vanish from the semi-joined assignment)
+    val (nNew, nNewNonNull, nNewDistinct) = phased("precheck") {
+      val r = newIds.agg(count(lit(1)), count($"clip_id"), count_distinct($"clip_id")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
+    require(nNewNonNull == nNew,
+      s"${nNew - nNewNonNull} rows in the new batch have null clip_id — every row needs a key")
     require(nNewDistinct == nNew,
       "duplicate clip_ids within the new batch — clip ids must be unique")
     val collisions = phased("precheck")(
@@ -196,11 +205,14 @@ object IncrementalDedup {
     // an O(new) path whose input arrives in cluster-sized partitioning
     // (e.g. a 2,400-row drop in 64 splits) otherwise schedules ~90 jobs of
     // near-empty tasks; ~4k rows per partition keeps checkpoint blocks
-    // small while capping task churn. Never exceeds the input's own count.
+    // small while capping task churn. The resize is a repartition of the
+    // TOKENIZE OUTPUT (token rows only), never a coalesce of the source:
+    // coalesce is narrow and would fuse upstream, funneling the whole
+    // source read — audio payload included — through batchParts tasks.
     val batchParts = math.max(1L, math.min(nNew / 4096 + 1, newClips.rdd.getNumPartitions.toLong)).toInt
     var newToks: Dataset[TokRow] = null
     val nNewToks = timed("inc_tokenize", nNew) {
-      newToks = TokenizeStage(newClips.coalesce(batchParts), cfg).localCheckpoint()
+      newToks = TokenizeStage(newClips, cfg).repartition(batchParts).localCheckpoint()
       newToks.count()
     }
     val newSigs = phased("signatures")(SignatureStage(newToks, cfg).localCheckpoint())

@@ -195,9 +195,15 @@ class IncrementalDedupSpec extends AnyFunSuite {
     import spark.implicits._
     val base = freshDir("jobcount-base")
     DedupPipeline.run(spark.createDataset(oldClips), cfg, Some(base))
+    // count ONLY jobs carrying the increment's phase marker: the listener
+    // bus is async, so stale bootstrap events could otherwise be delivered
+    // to this listener after registration and flake the gate
     val nJobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = nJobs.incrementAndGet()
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties).map(_.getProperty("spark.job.description")).orNull
+        if (desc != null && desc.startsWith("inc:")) nJobs.incrementAndGet()
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -205,8 +211,9 @@ class IncrementalDedupSpec extends AnyFunSuite {
       res.clusters.count()
       Thread.sleep(500) // listener bus drain (private API in Spark 4)
     } finally spark.sparkContext.removeSparkListener(listener)
-    assert(nJobs.get() < 150,
-      s"one increment fired ${nJobs.get()} Spark jobs — the lineage-truncation " +
+    assert(nJobs.get() > 0, "phase markers missing — the gate is counting nothing")
+    assert(nJobs.get() < 120,
+      s"one increment fired ${nJobs.get()} phased Spark jobs — the lineage-truncation " +
         "discipline (eager localCheckpoint per O(new) intermediate) has regressed")
   }
 
