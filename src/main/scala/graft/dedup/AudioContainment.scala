@@ -70,7 +70,15 @@ object AudioContainment {
     require(chunkBits >= 1 && chunkBits <= 62, s"chunkBits out of range: $chunkBits")
     val spark = clips.sparkSession
     import spark.implicits._
-    clips.mapPartitions(_.map { c =>
+    clips.mapPartitions(_.map(c => one(c, frameMs, chunkBits, headLen, maxEnvFrames)))
+  }
+
+  /** Containment fingerprint of ONE clip — the kernel [[fingerprints]] maps
+    * over a Dataset, exposed row-at-a-time for the stream-static probe
+    * (the same single-row split as [[Stages.SignatureStage.one]]). */
+  def one(c: Clip, frameMs: Int = 1, chunkBits: Int = 32,
+          headLen: Int = 512, maxEnvFrames: Int = 2048): AudioCtRow = {
+    locally {
       val samples = AudioDedup.activeRegion(AudioOps.decode(c))
       val frameLen = math.max(1, c.sr_hz * frameMs / 1000)
       val (env, rmsAll) = AudioDedup.rmsEnvelope(samples, frameLen)
@@ -117,7 +125,7 @@ object AudioContainment {
       while (i < hl) { head(i) = (samples(i) / rms).toFloat; i += 1 }
 
       AudioCtRow(c.clip_id, nFrames, head, renv, keys, poss)
-    })
+    }
   }
 
   /** Normalized-variance flatness test on raw envelope values (mirrors
@@ -131,6 +139,29 @@ object AudioContainment {
     var s = 0.0; i = 0
     while (i < v.length) { val d = v(i) - m; s += d * d; i += 1 }
     s / v.length / (m * m) < 1e-4
+  }
+
+  /** The per-pair verify kernel: inner envelope vs the outer envelope
+    * window at the voted offset — Pearson (amplitude-invariant), with the
+    * flat-vs-flat fallback to sample-level head correlation ONLY in the
+    * equal-length offset-0 case. None when the offset lands past the stored
+    * envelope prefix. Shared verbatim by the batch join and the streaming
+    * probe so stream == batch is the same arithmetic, not a reimplementation. */
+  private[graft] def verifyAt(off: Int, ifr: Int, ofr: Int,
+      aHead: Array[Float], aRenv: Array[Float],
+      bHead: Array[Float], bRenv: Array[Float]): Option[Double] = {
+    val n = aRenv.length
+    if (off + n > bRenv.length) None // beyond the stored envelope prefix
+    else {
+      val win = java.util.Arrays.copyOfRange(bRenv, off, off + n)
+      val corr =
+        if (isFlat(aRenv) && isFlat(win)) {
+          // no envelope shape to align on: only the equal-length dup
+          // case may fall back to sample-level head correlation
+          if (off == 0 && ifr == ofr) AudioDedup.pearson(aHead, bHead) else 0.0
+        } else AudioDedup.pearson(aRenv, win)
+      Some(corr)
+    }
   }
 
   /** Candidate generation + offset voting + envelope verify. Emits
@@ -193,18 +224,9 @@ object AudioContainment {
       .as[(String, String, Int, Int, Int,
         Array[Float], Array[Float], Array[Float], Array[Float])]
       .flatMap { case (inner, outer, off, ifr, ofr, aHead, aRenv, bHead, bRenv) =>
-        val n = aRenv.length
-        if (off + n > bRenv.length) Iterator.empty // beyond the stored envelope prefix
-        else {
-          val win = java.util.Arrays.copyOfRange(bRenv, off, off + n)
-          val corr =
-            if (isFlat(aRenv) && isFlat(win)) {
-              // no envelope shape to align on: only the equal-length dup
-              // case may fall back to sample-level head correlation
-              if (off == 0 && ifr == ofr) AudioDedup.pearson(aHead, bHead) else 0.0
-            } else AudioDedup.pearson(aRenv, win)
-          if (corr >= minCorr) Iterator.single((inner, outer, off, corr))
-          else Iterator.empty
+        verifyAt(off, ifr, ofr, aHead, aRenv, bHead, bRenv) match {
+          case Some(corr) if corr >= minCorr => Iterator.single((inner, outer, off, corr))
+          case _ => Iterator.empty
         }
       }
       .toDF("inner", "outer", "offset_frames", "corr")

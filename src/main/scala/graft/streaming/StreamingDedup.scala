@@ -375,6 +375,163 @@ object StreamingDedup {
     }
   }
 
+  /** Stream-static AUDIO CONTAINMENT edge stream — [[audioEdgesAgainstCorpus]]
+    * completed with the [[graft.dedup.AudioContainment]] semantics: an
+    * arriving clip is matched as an EXCERPT inside a longer corpus recording
+    * AND as a recording containing a corpus excerpt (both orientations; the
+    * batch operator sees both sides in one table, a stream probe must check
+    * each). Arriving clips' unsalted chunk hashes probe a driver-built
+    * position-carrying inverted index over the static corpus fingerprints;
+    * offset voting runs per arriving clip in a local map (real containment
+    * concentrates hits on ONE offset); the surviving best offset per
+    * (clip, corpus row, orientation) is verified by the batch channel's
+    * [[graft.dedup.AudioContainment.verifyAt]] kernel — shared arithmetic,
+    * so stream == batch is the same code, not a reimplementation. Stateless
+    * and shuffle-free per micro-batch (append mode); the unbounded axis is
+    * the stream. The hot-chunk valve sees CORPUS-side df only (the batch
+    * valve sees the union's df — an arriving hot key can at most fan out to
+    * `bucketCap` corpus rows here, so the bound still holds). Emits
+    * [[graft.dedup.Edge]] rows with a = stream clip, b = corpus clip,
+    * `lcs` = the voted offset in frames, kind = "audio_contain". */
+  def audioContainmentAgainstCorpus(
+      streamClips: Dataset[Clip],
+      corpus: Dataset[Clip],
+      cfg: DedupConfig,
+      minVotes: Int = 3,
+      innerStride: Int = 4,
+      bucketCap: Int = 512,
+      cappedBuckets: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Edge] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import graft.dedup.AudioContainment
+
+    // static side, built once: fingerprints run DISTRIBUTED; only the
+    // bounded sketches land on the driver
+    val fps = AudioContainment.fingerprints(corpus).persist()
+    val n = fps.count()
+    require(n <= cfg.broadcastMaxRows,
+      s"corpus has $n clips > broadcastMaxRows ${cfg.broadcastMaxRows}: " +
+        "stream-static audio containment needs a broadcastable corpus — run " +
+        "the batch AudioContainment.pairs channel instead")
+    val estBytes = fps.select(
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size($"renv") * 4 +
+          org.apache.spark.sql.functions.size($"head") * 4 +
+          org.apache.spark.sql.functions.size($"keys") * 8 +
+          org.apache.spark.sql.functions.size($"poss") * 4 + 64)).as[Long].head()
+    require(estBytes <= cfg.broadcastMaxBytes,
+      s"corpus containment fingerprints estimated at $estBytes bytes > " +
+        s"broadcastMaxBytes ${cfg.broadcastMaxBytes}: stream-static audio " +
+        "containment needs a broadcastable corpus — run the batch channel instead")
+    val rows = fps.collect()
+    fps.unpersist()
+
+    // driver-built chunk inverted index carrying (row, position) — packed
+    // into one long each; hot chunk keys dropped AND counted (valve)
+    val chunkMap = new java.util.HashMap[Long, Array[Long]](rows.length * 4)
+    var capped = 0L
+    locally {
+      val builder = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      var i = 0
+      while (i < rows.length) {
+        val r = rows(i)
+        var j = 0
+        while (j < r.keys.length) {
+          var buf = builder.get(r.keys(j))
+          if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Long]; builder.put(r.keys(j), buf) }
+          buf += (i.toLong << 32) | (r.poss(j).toLong & 0xffffffffL)
+          j += 1
+        }
+        i += 1
+      }
+      builder.forEach { (key, buf) =>
+        if (buf.length > bucketCap) capped += 1
+        else chunkMap.put(key, buf.toArray)
+      }
+    }
+    cappedBuckets.foreach(_.add(capped))
+    val bcRows = spark.sparkContext.broadcast(rows)
+    val bcChunks = spark.sparkContext.broadcast(chunkMap)
+    val minCorr = cfg.audioContainMinCorr
+
+    streamClips.mapPartitions { it =>
+      val corpusRows = bcRows.value
+      val idx = bcChunks.value
+      it.flatMap { c =>
+        val f = AudioContainment.one(c)
+        // votes: (corpus row, orientation 0 = stream-is-inner, offset) → n.
+        // Orientation is a function of the frame comparison (strict <, or
+        // equal-length tie-broken by id, exactly the batch predicate), so
+        // each (clip, row) pair votes in at most one orientation.
+        val votes = new java.util.HashMap[(Int, Int, Int), Int]()
+        var i = 0
+        while (i < f.keys.length) {
+          val pos = f.poss(i)
+          val hit = idx.get(f.keys(i))
+          if (hit != null) {
+            var j = 0
+            while (j < hit.length) {
+              val ri = (hit(j) >>> 32).toInt
+              val rpos = (hit(j) & 0xffffffffL).toInt
+              val r = corpusRows(ri)
+              if (r.clip_id != c.clip_id) {
+                val streamInner = f.n_frames < r.n_frames ||
+                  (f.n_frames == r.n_frames && c.clip_id < r.clip_id)
+                if (streamInner && pos % innerStride == 0) {
+                  // stream = inner (batch strides the INNER probe side)
+                  val off = rpos - pos
+                  if (off >= 0 && off <= r.n_frames - f.n_frames) {
+                    val k = (ri, 0, off)
+                    votes.merge(k, 1, Integer.sum _)
+                  }
+                } else if (!streamInner && rpos % innerStride == 0) {
+                  // corpus = inner: the corpus side plays the strided role
+                  val off = pos - rpos
+                  if (off >= 0 && off <= f.n_frames - r.n_frames) {
+                    val k = (ri, 1, off)
+                    votes.merge(k, 1, Integer.sum _)
+                  }
+                }
+              }
+              j += 1
+            }
+          }
+          i += 1
+        }
+        if (votes.isEmpty) Iterator.empty
+        else {
+          // per (row, orientation): keep offsets with ≥ minVotes votes (the
+          // equal-length offset-0 case exempt, as in the batch), then best
+          // offset by (votes desc, offset asc) — the batch window verbatim
+          val best = new java.util.HashMap[(Int, Int), (Int, Int)]() // → (offset, votes)
+          votes.forEach { (k, v) =>
+            val (ri, orient, off) = k
+            val equalLen = corpusRows(ri).n_frames == f.n_frames
+            if (v >= minVotes || (off == 0 && equalLen)) {
+              val cur = best.get((ri, orient))
+              if (cur == null || v > cur._2 || (v == cur._2 && off < cur._1))
+                best.put((ri, orient), (off, v))
+            }
+          }
+          val out = new scala.collection.mutable.ArrayBuffer[Edge]()
+          best.forEach { (k, offVotes) =>
+            val (ri, orient) = k
+            val r = corpusRows(ri)
+            val off = offVotes._1
+            val corr =
+              if (orient == 0) AudioContainment.verifyAt(off, f.n_frames, r.n_frames,
+                f.head, f.renv, r.head, r.renv)
+              else AudioContainment.verifyAt(off, r.n_frames, f.n_frames,
+                r.head, r.renv, f.head, f.renv)
+            corr.foreach(x => if (x >= minCorr)
+              out += Edge(c.clip_id, r.clip_id, x, off, "audio_contain"))
+          }
+          out.iterator
+        }
+      }
+    }
+  }
+
   /** Streaming top-k fuzzy retrieval: arriving query clips matched against
     * a STATIC indexed corpus — the reference's stdin match loop
     * (/root/reference/cli/src/FuzzyMatch-cli.cc:112-193) as a real stream.

@@ -204,6 +204,78 @@ class StreamingDedupSpec extends AnyFunSuite {
     streamed.foreach(e => assert(e._3 >= ecfg.audioMinCorr && e._4 == "audio"))
   }
 
+  test("stream-static AUDIO CONTAINMENT: excerpt + containing-recording + equal-length dup == batch") {
+    import spark.implicits._
+    def structured(seed: Long, n: Int): Array[Short] =
+      Array.tabulate(n)(i =>
+        (500 + (graft.kernel.Hashing.mix64(seed * 1000003L + i) >>> 40) % 1500).toShort)
+    def wrap(id: String, samples: Array[Short]) = {
+      val buf = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(buf.putShort)
+      graft.data.Clip(id, graft.ops.AudioOps.wavWrap(buf.array(), 16000), 16000,
+        (samples.length * 1000L / 16000).toInt, "pcm_s16le", s"t $id")
+    }
+    val base = (0 until 4).map(g => structured(900 + g, 1600)) // 100 frames each
+    val corpus = base.zipWithIndex.map { case (s, g) => wrap(s"c$g", s) }.toDS()
+    val batch1 = Seq(
+      // frame-aligned EXCERPT of c0 (samples 480..1440 = frames 30..89):
+      // the arriving clip is the INNER side, expected offset 30
+      wrap("x1", base(0).slice(480, 1440)),
+      // recording CONTAINING c1 between active structured noise (20 + 100 +
+      // 10 frames): the arriving clip is the OUTER side, expected offset 20
+      wrap("x2", structured(555L, 320) ++ base(1) ++ structured(556L, 160)),
+      wrap("x3", structured(777L, 1600))) // no match
+    // silence-padded equal-length dup of c2 (offset-0 degenerate case,
+    // trim invariance, and the corpus-is-inner id tie-break c2 < x4)
+    val batch2 = Seq(wrap("x4", new Array[Short](131) ++ base(2) ++ new Array[Short](57)))
+    val ccfg = DedupConfig()
+
+    val inDir = java.nio.file.Files.createTempDirectory("stream-act-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-act-ckpt").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("stream-act-sink").toString + "/out"
+    batch1.toDS().write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(StreamingDedup.clipSchema).parquet(inDir)
+      .as[graft.data.Clip]
+    def runLeg(): Unit = {
+      val q = StreamingDedup.audioContainmentAgainstCorpus(stream, corpus, ccfg)
+        .writeStream.outputMode(OutputMode.Append()).format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runLeg() // micro-batch 1
+    batch2.toDS().write.mode("append").parquet(inDir)
+    runLeg() // micro-batch 2 (restart from checkpoint)
+
+    val streamed = spark.read.parquet(sinkDir).as[graft.dedup.Edge].collect()
+      .map(e => (e.a, e.b, e.lcs, e.score, e.kind)).toSet
+
+    // (a) stream == batch: the batch operator over corpus ∪ stream rows,
+    // restricted to stream-incident pairs, re-oriented (a = stream clip)
+    val streamIds = Set("x1", "x2", "x3", "x4")
+    val acc = spark.sparkContext.longAccumulator("act-batch")
+    val all = (corpus.collect().toSeq ++ batch1 ++ batch2).toDS()
+    val batchPairs = graft.dedup.AudioContainment.pairs(
+        graft.dedup.AudioContainment.fingerprints(all),
+        minCorr = ccfg.audioContainMinCorr, cappedBuckets = acc)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+      .filter { case (i, o, _, _) => streamIds.contains(i) ^ streamIds.contains(o) }
+      .map { case (i, o, off, corr) =>
+        if (streamIds.contains(i)) (i, o, off, corr, "audio_contain")
+        else (o, i, off, corr, "audio_contain")
+      }.toSet
+    assert(streamed == batchPairs, s"stream=$streamed batch=$batchPairs")
+
+    // (b) the planted pairs, concretely: both orientations + the
+    // offset-0 degenerate; the noise clip matches nothing
+    assert(streamed.map(e => (e._1, e._2, e._3)) ==
+      Set(("x1", "c0", 30), ("x2", "c1", 20), ("x4", "c2", 0)), s"got $streamed")
+    streamed.foreach(e => assert(e._4 >= ccfg.audioContainMinCorr))
+  }
+
   test("stream-static audio hot chunk buckets are capped AND counted") {
     import spark.implicits._
     val tone = graft.data.AudioPcm.synthWav(5L, 480, 16000)
