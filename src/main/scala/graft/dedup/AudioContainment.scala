@@ -164,6 +164,102 @@ object AudioContainment {
     }
   }
 
+  /** Driver-built position-carrying chunk inverted index (each entry packs
+    * (row index << 32 | bit position)); hot chunk keys dropped AND counted.
+    * Shared by the stream-static containment operator (index = corpus) and
+    * incremental dedup (index = the NEW batch, probed by stored old
+    * fingerprints). */
+  def buildPosIndex(rows: Array[AudioCtRow], bucketCap: Int): (java.util.HashMap[Long, Array[Long]], Long) = {
+    val chunkMap = new java.util.HashMap[Long, Array[Long]](rows.length * 4)
+    var capped = 0L
+    val builder = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      var j = 0
+      while (j < r.keys.length) {
+        var buf = builder.get(r.keys(j))
+        if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Long]; builder.put(r.keys(j), buf) }
+        buf += (i.toLong << 32) | (r.poss(j).toLong & 0xffffffffL)
+        j += 1
+      }
+      i += 1
+    }
+    builder.forEach { (key, buf) =>
+      if (buf.length > bucketCap) capped += 1
+      else chunkMap.put(key, buf.toArray)
+    }
+    (chunkMap, capped)
+  }
+
+  /** Probe ONE fingerprint against a position index, BOTH orientations
+    * (probe as inner excerpt / probe as containing outer — orientation is a
+    * function of the frame comparison with the batch id tie-break, so each
+    * (probe, row) pair votes in at most one). Offset voting runs in a local
+    * map, the equal-length offset-0 case is exempt from `minVotes` (content
+    * keyed by the whole-stream hash), best offset by (votes desc, offset
+    * asc), then [[verifyAt]] — the batch arithmetic verbatim. Emits
+    * (row index, voted offset, corr) for survivors ≥ minCorr. */
+  def probePosIndex(f: AudioCtRow, rows: Array[AudioCtRow],
+      idx: java.util.HashMap[Long, Array[Long]], minVotes: Int,
+      innerStride: Int, minCorr: Double): Iterator[(Int, Int, Double)] = {
+    val votes = new java.util.HashMap[(Int, Int, Int), Int]()
+    var i = 0
+    while (i < f.keys.length) {
+      val pos = f.poss(i)
+      val hit = idx.get(f.keys(i))
+      if (hit != null) {
+        var j = 0
+        while (j < hit.length) {
+          val ri = (hit(j) >>> 32).toInt
+          val rpos = (hit(j) & 0xffffffffL).toInt
+          val r = rows(ri)
+          if (r.clip_id != f.clip_id) {
+            val probeInner = f.n_frames < r.n_frames ||
+              (f.n_frames == r.n_frames && f.clip_id < r.clip_id)
+            if (probeInner && pos % innerStride == 0) {
+              // probe = inner (the batch strides the INNER side's entries)
+              val off = rpos - pos
+              if (off >= 0 && off <= r.n_frames - f.n_frames)
+                votes.merge((ri, 0, off), 1, Integer.sum _)
+            } else if (!probeInner && rpos % innerStride == 0) {
+              // index row = inner: it plays the strided role
+              val off = pos - rpos
+              if (off >= 0 && off <= f.n_frames - r.n_frames)
+                votes.merge((ri, 1, off), 1, Integer.sum _)
+            }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (votes.isEmpty) Iterator.empty
+    else {
+      val best = new java.util.HashMap[(Int, Int), (Int, Int)]() // → (offset, votes)
+      votes.forEach { (k, v) =>
+        val (ri, orient, off) = k
+        val equalLen = rows(ri).n_frames == f.n_frames
+        if (v >= minVotes || (off == 0 && equalLen)) {
+          val cur = best.get((ri, orient))
+          if (cur == null || v > cur._2 || (v == cur._2 && off < cur._1))
+            best.put((ri, orient), (off, v))
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Int, Int, Double)]()
+      best.forEach { (k, offVotes) =>
+        val (ri, orient) = k
+        val r = rows(ri)
+        val off = offVotes._1
+        val corr =
+          if (orient == 0) verifyAt(off, f.n_frames, r.n_frames, f.head, f.renv, r.head, r.renv)
+          else verifyAt(off, r.n_frames, f.n_frames, r.head, r.renv, f.head, f.renv)
+        corr.foreach(x => if (x >= minCorr) out += ((ri, off, x)))
+      }
+      out.iterator
+    }
+  }
+
   /** Candidate generation + offset voting + envelope verify. Emits
     * `(inner, outer, offset_frames, corr)` — inner strictly shorter, or
     * equal-length with the smaller clip_id (so each unordered dup pair

@@ -230,6 +230,62 @@ object AudioDedup {
     edges
   }
 
+  /** Driver-built chunk inverted index over fingerprint rows, keyed by ROW
+    * POSITION (duplicate clip_ids stay distinct — TM semantics); hot chunk
+    * buckets dropped AND counted (the shared valve discipline). Returns
+    * (index, cappedBucketCount). Shared by the stream-static edge operator
+    * (index = corpus, probe = arriving clips) and incremental dedup
+    * (index = the NEW batch, probe = a narrow scan of the stored old
+    * fingerprints — the scalable orientation: the broadcast side is always
+    * the bounded one). */
+  def buildChunkIndex(rows: Array[AudioFpRow], bucketCap: Int): (java.util.HashMap[Long, Array[Int]], Long) = {
+    val chunkMap = new java.util.HashMap[Long, Array[Int]](rows.length * 2)
+    var capped = 0L
+    val builder = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+    var i = 0
+    while (i < rows.length) {
+      rows(i).chunks.foreach { h =>
+        var buf = builder.get(h)
+        if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Int]; builder.put(h, buf) }
+        buf += i
+      }
+      i += 1
+    }
+    builder.forEach { (key, buf) =>
+      if (buf.length > bucketCap) capped += 1
+      else chunkMap.put(key, buf.toArray)
+    }
+    (chunkMap, capped)
+  }
+
+  /** Probe ONE fingerprint against a chunk index: chunk-hash candidate
+    * lookup, P5-style frame window both orientations, then the batch pair
+    * gate verbatim (head Pearson ≥ minCorr AND envelope agreement). Emits
+    * (row index, corr) — the caller orients the edge. */
+  def probeChunkIndex(f: AudioFpRow, rows: Array[AudioFpRow],
+      idx: java.util.HashMap[Long, Array[Int]], minCorr: Double,
+      frameWindow: Double): Iterator[(Int, Double)] = {
+    val cand = new java.util.LinkedHashSet[Integer]()
+    f.chunks.foreach { h =>
+      val hit = idx.get(h)
+      if (hit != null) { var j = 0; while (j < hit.length) { cand.add(hit(j)); j += 1 } }
+    }
+    if (cand.isEmpty) Iterator.empty
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+      cand.forEach { i =>
+        val r = rows(i)
+        if (r.clip_id != f.clip_id &&
+            r.n_frames <= f.n_frames * (1.0 + frameWindow) &&
+            f.n_frames <= r.n_frames * (1.0 + frameWindow)) {
+          val corr = pearson(f.head, r.head)
+          if (corr >= minCorr && envAgree(f.env, r.env)) out += ((i, corr))
+        }
+      }
+      out.iterator
+    }
+  }
+
   /** Whole-clip envelope agreement gate. When BOTH envelope sketches are
     * flat (near-constant energy — e.g. steady tones, where the envelope
     * carries no discriminative shape) the gate defers to the head

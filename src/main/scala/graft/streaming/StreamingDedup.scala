@@ -320,24 +320,8 @@ object StreamingDedup {
 
     // driver-built chunk inverted index, keyed by ROW POSITION; hot chunk
     // buckets dropped AND counted, never a linear corpus scan per clip
-    val chunkMap = new java.util.HashMap[Long, Array[Int]](rows.length * 2)
-    var capped = 0L
-    locally {
-      val builder = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
-      var i = 0
-      while (i < rows.length) {
-        rows(i).chunks.foreach { h =>
-          var buf = builder.get(h)
-          if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Int]; builder.put(h, buf) }
-          buf += i
-        }
-        i += 1
-      }
-      builder.forEach { (key, buf) =>
-        if (buf.length > bucketCap) capped += 1
-        else chunkMap.put(key, buf.toArray)
-      }
-    }
+    // (shared kernel with IncrementalDedup's audio cross channel)
+    val (chunkMap, capped) = graft.dedup.AudioDedup.buildChunkIndex(rows, bucketCap)
     cappedBuckets.foreach(_.add(capped))
     val bcRows = spark.sparkContext.broadcast(rows)
     val bcChunks = spark.sparkContext.broadcast(chunkMap)
@@ -349,28 +333,8 @@ object StreamingDedup {
       val idx = bcChunks.value
       it.flatMap { c =>
         val f = graft.dedup.AudioDedup.fingerprintOne(c)
-        val cand = new java.util.LinkedHashSet[Integer]()
-        f.chunks.foreach { h =>
-          val hit = idx.get(h)
-          if (hit != null) { var j = 0; while (j < hit.length) { cand.add(hit(j)); j += 1 } }
-        }
-        if (cand.isEmpty) Iterator.empty
-        else {
-          val out = new scala.collection.mutable.ArrayBuffer[Edge]()
-          cand.forEach { i =>
-            val r = corpusRows(i)
-            // P5-style window on ACTIVE frame counts, both orientations
-            // (mirrors the batch entries' (n, n*(1+fw)) bounds)
-            if (r.clip_id != c.clip_id &&
-                r.n_frames <= f.n_frames * (1.0 + fw) &&
-                f.n_frames <= r.n_frames * (1.0 + fw)) {
-              val corr = graft.dedup.AudioDedup.pearson(f.head, r.head)
-              if (corr >= minCorr && graft.dedup.AudioDedup.envAgree(f.env, r.env))
-                out += Edge(c.clip_id, r.clip_id, corr, 0, "audio")
-            }
-          }
-          out.iterator
-        }
+        graft.dedup.AudioDedup.probeChunkIndex(f, corpusRows, idx, minCorr, fw)
+          .map { case (i, corr) => Edge(c.clip_id, corpusRows(i).clip_id, corr, 0, "audio") }
       }
     }
   }
@@ -426,29 +390,10 @@ object StreamingDedup {
     val rows = fps.collect()
     fps.unpersist()
 
-    // driver-built chunk inverted index carrying (row, position) — packed
-    // into one long each; hot chunk keys dropped AND counted (valve)
-    val chunkMap = new java.util.HashMap[Long, Array[Long]](rows.length * 4)
-    var capped = 0L
-    locally {
-      val builder = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
-      var i = 0
-      while (i < rows.length) {
-        val r = rows(i)
-        var j = 0
-        while (j < r.keys.length) {
-          var buf = builder.get(r.keys(j))
-          if (buf == null) { buf = new scala.collection.mutable.ArrayBuffer[Long]; builder.put(r.keys(j), buf) }
-          buf += (i.toLong << 32) | (r.poss(j).toLong & 0xffffffffL)
-          j += 1
-        }
-        i += 1
-      }
-      builder.forEach { (key, buf) =>
-        if (buf.length > bucketCap) capped += 1
-        else chunkMap.put(key, buf.toArray)
-      }
-    }
+    // driver-built chunk inverted index carrying (row, position); hot chunk
+    // keys dropped AND counted — shared kernel with IncrementalDedup's
+    // audio containment cross channel
+    val (chunkMap, capped) = AudioContainment.buildPosIndex(rows, bucketCap)
     cappedBuckets.foreach(_.add(capped))
     val bcRows = spark.sparkContext.broadcast(rows)
     val bcChunks = spark.sparkContext.broadcast(chunkMap)
@@ -459,75 +404,9 @@ object StreamingDedup {
       val idx = bcChunks.value
       it.flatMap { c =>
         val f = AudioContainment.one(c)
-        // votes: (corpus row, orientation 0 = stream-is-inner, offset) → n.
-        // Orientation is a function of the frame comparison (strict <, or
-        // equal-length tie-broken by id, exactly the batch predicate), so
-        // each (clip, row) pair votes in at most one orientation.
-        val votes = new java.util.HashMap[(Int, Int, Int), Int]()
-        var i = 0
-        while (i < f.keys.length) {
-          val pos = f.poss(i)
-          val hit = idx.get(f.keys(i))
-          if (hit != null) {
-            var j = 0
-            while (j < hit.length) {
-              val ri = (hit(j) >>> 32).toInt
-              val rpos = (hit(j) & 0xffffffffL).toInt
-              val r = corpusRows(ri)
-              if (r.clip_id != c.clip_id) {
-                val streamInner = f.n_frames < r.n_frames ||
-                  (f.n_frames == r.n_frames && c.clip_id < r.clip_id)
-                if (streamInner && pos % innerStride == 0) {
-                  // stream = inner (batch strides the INNER probe side)
-                  val off = rpos - pos
-                  if (off >= 0 && off <= r.n_frames - f.n_frames) {
-                    val k = (ri, 0, off)
-                    votes.merge(k, 1, Integer.sum _)
-                  }
-                } else if (!streamInner && rpos % innerStride == 0) {
-                  // corpus = inner: the corpus side plays the strided role
-                  val off = pos - rpos
-                  if (off >= 0 && off <= f.n_frames - r.n_frames) {
-                    val k = (ri, 1, off)
-                    votes.merge(k, 1, Integer.sum _)
-                  }
-                }
-              }
-              j += 1
-            }
-          }
-          i += 1
-        }
-        if (votes.isEmpty) Iterator.empty
-        else {
-          // per (row, orientation): keep offsets with ≥ minVotes votes (the
-          // equal-length offset-0 case exempt, as in the batch), then best
-          // offset by (votes desc, offset asc) — the batch window verbatim
-          val best = new java.util.HashMap[(Int, Int), (Int, Int)]() // → (offset, votes)
-          votes.forEach { (k, v) =>
-            val (ri, orient, off) = k
-            val equalLen = corpusRows(ri).n_frames == f.n_frames
-            if (v >= minVotes || (off == 0 && equalLen)) {
-              val cur = best.get((ri, orient))
-              if (cur == null || v > cur._2 || (v == cur._2 && off < cur._1))
-                best.put((ri, orient), (off, v))
-            }
-          }
-          val out = new scala.collection.mutable.ArrayBuffer[Edge]()
-          best.forEach { (k, offVotes) =>
-            val (ri, orient) = k
-            val r = corpusRows(ri)
-            val off = offVotes._1
-            val corr =
-              if (orient == 0) AudioContainment.verifyAt(off, f.n_frames, r.n_frames,
-                f.head, f.renv, r.head, r.renv)
-              else AudioContainment.verifyAt(off, r.n_frames, f.n_frames,
-                r.head, r.renv, f.head, f.renv)
-            corr.foreach(x => if (x >= minCorr)
-              out += Edge(c.clip_id, r.clip_id, x, off, "audio_contain"))
-          }
-          out.iterator
-        }
+        AudioContainment.probePosIndex(f, corpusRows, idx, minVotes, innerStride, minCorr)
+          .map { case (ri, off, corr) =>
+            Edge(c.clip_id, corpusRows(ri).clip_id, corr, off, "audio_contain") }
       }
     }
   }
