@@ -249,6 +249,13 @@ object DedupPipeline {
       // commit time buys a pruned parquet read per increment instead.
       if (cfg.useMinhashChannel && !exists(spark, stagePath(dir, "signatures")))
         graft.data.TableIO.write(SignatureStage(toks, cfg).toDF(), stagePath(dir, "signatures"))
+      // same for the audio channels: committed fingerprints are what let an
+      // increment probe the old corpus without its BYTES (which committed
+      // state does not retain — fingerprints are the only audio residue)
+      if (cfg.useAudioChannel && !exists(spark, stagePath(dir, "audio_fps")))
+        graft.data.TableIO.write(AudioDedup.fingerprints(clips).toDF(), stagePath(dir, "audio_fps"))
+      if (cfg.useAudioContainment && !exists(spark, stagePath(dir, "audio_ct_fps")))
+        graft.data.TableIO.write(AudioContainment.fingerprints(clips).toDF(), stagePath(dir, "audio_ct_fps"))
       // per-partition lineage rows alongside the stage-level metrics
       metrics ++= Metrics.perPartition("tokens", toks)
       metrics ++= Metrics.perPartition("edges", allEdgesCt)

@@ -67,9 +67,12 @@ final case class IncrementalResult(
   *    IDENTICAL (pinned by IncrementalDedupSpec);
   *  - idf weighting and asymmetric insert/delete costs need corpus-global
   *    state this path does not maintain — rejected loudly;
-  *  - the audio channels are batch-only here (their cross-table streaming
-  *    forms exist in [[graft.streaming.StreamingDedup]]) — rejected loudly
-  *    when enabled, rather than silently clustering on transcripts alone.
+  *  - the audio channels work incrementally through COMMITTED fingerprints
+  *    (new↔new via the batch operators, new↔old by probing the stored old
+  *    fingerprints against a batch-sized broadcast index — the shared
+  *    streaming kernels with the roles swapped); a chain bootstrapped
+  *    without them is rejected loudly up front, because fingerprints need
+  *    the clip bytes, which committed state does not retain.
   *
   * State layout — immutable increments (lakehouse-snapshot style, the same
   * philosophy as Iceberg snapshots the TableIO facade maps to): `priorDirs`
@@ -119,6 +122,33 @@ object IncrementalDedup {
     }.reduce(_ union _)
   }
 
+  /** Accumulated audio fingerprints across the chain. Unlike signatures
+    * there is NO recompute fallback: fingerprints need the clip BYTES,
+    * which committed state does not retain — a chain that wants the audio
+    * channels must be bootstrapped with them ON. */
+  def accumulatedAudioFps(spark: SparkSession, priorDirs: Seq[String]): Dataset[AudioDedup.AudioFpRow] = {
+    import spark.implicits._
+    priorDirs.map { d =>
+      readIf(spark, d, "new_audio_fps", "audio_fps").getOrElse(
+        sys.error(s"no committed audio_fps table under $d — the audio channel needs " +
+          "fingerprints for every chain segment (committed state does not retain clip " +
+          "bytes); bootstrap the chain with useAudioChannel on, or run the full pipeline"))
+        .as[AudioDedup.AudioFpRow]
+    }.reduce(_ union _)
+  }
+
+  /** Accumulated containment fingerprints; same no-fallback contract. */
+  def accumulatedAudioCtFps(spark: SparkSession, priorDirs: Seq[String]): Dataset[AudioContainment.AudioCtRow] = {
+    import spark.implicits._
+    priorDirs.map { d =>
+      readIf(spark, d, "new_audio_ct_fps", "audio_ct_fps").getOrElse(
+        sys.error(s"no committed audio_ct_fps table under $d — the audio containment " +
+          "channel needs fingerprints for every chain segment; bootstrap the chain with " +
+          "useAudioContainment on, or run the full pipeline"))
+        .as[AudioContainment.AudioCtRow]
+    }.reduce(_ union _)
+  }
+
   /** Run one increment. `priorDirs`: the lineage chain (see object doc);
     * the LAST dir's `clusters` table is the current assignment. `outDir`:
     * where to commit this increment's state (None = return results without
@@ -139,10 +169,8 @@ object IncrementalDedup {
     require(cfg.editCosts.insert == cfg.editCosts.delete,
       "incremental dedup requires symmetric insert/delete costs (the cross-table " +
         "candidate channels pre-reject one-sidedly) — run the full pipeline")
-    require(!cfg.useAudioChannel && !cfg.useAudioContainment,
-      "incremental dedup covers the transcript channels only; the audio channels " +
-        "need a cross-table batch form — run the full pipeline with audio on, or " +
-        "stream audio edges via StreamingDedup.audioEdgesAgainstCorpus")
+    // (audio channels supported since round 5 via committed fingerprints —
+    // accumulatedAudioFps fails loudly when the chain lacks them)
 
     val metrics = scala.collection.mutable.ListBuffer.empty[MetricRow]
     val sc = spark.sparkContext
@@ -171,6 +199,11 @@ object IncrementalDedup {
         sys.error(s"no committed clusters table under $last — prior state incomplete")).as[ClusterRow]
     }
     val oldToks = accumulatedToks(spark, priorDirs)
+    // constructing these validates the chain EAGERLY (readIf checks table
+    // existence per dir), so a chain bootstrapped without the audio
+    // channels fails here — before any batch work — not after verify
+    val oldAudioFps = if (cfg.useAudioChannel) Some(accumulatedAudioFps(spark, priorDirs)) else None
+    val oldCtFps = if (cfg.useAudioContainment) Some(accumulatedAudioCtFps(spark, priorDirs)) else None
 
     val newIds = newClips.select($"clip_id")
     // count(lit(1)) counts every row while count/count_distinct(col) skip
@@ -306,6 +339,72 @@ object IncrementalDedup {
       newEdges.count()
     }
 
+    // ---- stage 2c: audio channels (optional) — new-incident audio edges.
+    // new↔new runs the batch operators verbatim on the batch; new↔old
+    // probes the stored old fingerprints against a BATCH-SIZED broadcast
+    // index (the scalable orientation: the broadcast side is the bounded
+    // one, the old side is one narrow pruned fingerprint scan). Valve
+    // caveat as for the transcript channels: the index caps see batch-side
+    // chunk dfs, not the union's — two-sided divergence, capped + counted.
+    var newFps: Dataset[AudioDedup.AudioFpRow] = null
+    var newCtFps: Dataset[AudioContainment.AudioCtRow] = null
+    if (cfg.useAudioChannel || cfg.useAudioContainment) {
+      def guardIndex(what: String, n: Long, bytes: Long): Unit = {
+        require(n <= cfg.broadcastMaxRows && bytes <= cfg.broadcastMaxBytes,
+          s"$what: batch has $n fingerprints / ~$bytes bytes, past the broadcast " +
+            s"envelope (${cfg.broadcastMaxRows} rows / ${cfg.broadcastMaxBytes} bytes) — " +
+            "split the ingest batch, or run the full pipeline with audio on")
+      }
+      var audioE = spark.emptyDataset[Edge]
+      val audioCapped = sc.longAccumulator("incAudioCappedBuckets")
+      if (cfg.useAudioChannel) {
+        newFps = phased("inc_audio")(AudioDedup.fingerprints(newClips).localCheckpoint())
+        audioE = audioE.union(AudioDedup.pairs(newFps, cfg.audioMinCorr, cappedBuckets = audioCapped))
+        val rows = phased("inc_audio")(newFps.collect())
+        guardIndex("incremental audio channel", rows.length.toLong,
+          rows.iterator.map(r => 64L + r.head.length * 4L + r.env.length * 4L + r.chunks.length * 8L).sum)
+        val (idxMap, capped) = AudioDedup.buildChunkIndex(rows, bucketCap = 512)
+        audioCapped.add(capped)
+        val bcR = sc.broadcast(rows)
+        val bcI = sc.broadcast(idxMap)
+        val minCorr = cfg.audioMinCorr
+        audioE = audioE.union(oldAudioFps.get.mapPartitions { it =>
+          val rs = bcR.value; val ix = bcI.value
+          it.flatMap(f => AudioDedup.probeChunkIndex(f, rs, ix, minCorr, frameWindow = 0.2)
+            .map { case (i, corr) => Edge(f.clip_id, rs(i).clip_id, corr, 0, "audio") })
+        })
+      }
+      if (cfg.useAudioContainment) {
+        newCtFps = phased("inc_audio")(AudioContainment.fingerprints(newClips).localCheckpoint())
+        audioE = audioE.union(
+          AudioContainment.pairs(newCtFps, minCorr = cfg.audioContainMinCorr,
+              cappedBuckets = audioCapped)
+            .select($"inner".as("a"), $"outer".as("b"), $"corr".as("score"),
+              lit(0).as("lcs"), lit("audio_contain").as("kind")).as[Edge])
+        val rows = phased("inc_audio")(newCtFps.collect())
+        guardIndex("incremental audio containment channel", rows.length.toLong,
+          rows.iterator.map(r => 64L + r.head.length * 4L + r.renv.length * 4L +
+            r.keys.length * 8L + r.poss.length * 4L).sum)
+        val (idxMap, capped) = AudioContainment.buildPosIndex(rows, bucketCap = 512)
+        audioCapped.add(capped)
+        val bcR = sc.broadcast(rows)
+        val bcI = sc.broadcast(idxMap)
+        val minCorr = cfg.audioContainMinCorr
+        audioE = audioE.union(oldCtFps.get.mapPartitions { it =>
+          val rs = bcR.value; val ix = bcI.value
+          it.flatMap(f => AudioContainment.probePosIndex(f, rs, ix, minVotes = 3,
+              innerStride = 4, minCorr = minCorr)
+            .map { case (ri, off, corr) => Edge(f.clip_id, rs(ri).clip_id, corr, off, "audio_contain") })
+        })
+      }
+      var audioCk: Dataset[Edge] = null
+      timed("inc_audio", nNew, Map("capped_audio_buckets" -> audioCapped.value.toString)) {
+        audioCk = audioE.localCheckpoint()
+        audioCk.count()
+      }
+      newEdges = newEdges.union(audioCk)
+    }
+
     // ---- stage 3: CC over the label-contracted touched subgraph ----
     // old endpoints collapse to their existing labels (label = the old
     // component's min clip_id, so min-id naming survives contraction)
@@ -349,6 +448,10 @@ object IncrementalDedup {
     outDir.foreach { dir =>
       graft.data.TableIO.write(newToks.toDF(), s"$dir/new_tokens")
       graft.data.TableIO.write(newSigs.toDF(), s"$dir/new_signatures")
+      if (newFps != null)
+        graft.data.TableIO.write(newFps.toDF(), s"$dir/new_audio_fps")
+      if (newCtFps != null)
+        graft.data.TableIO.write(newCtFps.toDF(), s"$dir/new_audio_ct_fps")
       graft.data.TableIO.write(newEdges.toDF(), s"$dir/new_edges")
       metrics ++= Metrics.perPartition("new_tokens", newToks)
       metrics ++= Metrics.perPartition("new_edges", newEdges)
@@ -382,6 +485,12 @@ object IncrementalDedup {
       sys.error(s"no committed clusters table under ${priorDirs.last} — chain incomplete"))
     graft.data.TableIO.write(accumulatedToks(spark, priorDirs).toDF(), s"$outDir/tokens")
     graft.data.TableIO.write(accumulatedSigs(spark, priorDirs, cfg).toDF(), s"$outDir/signatures")
+    // carry the audio fingerprints through (they cannot be recomputed —
+    // committed state has no clip bytes); presence keyed off the head dir
+    if (readIf(spark, priorDirs.head, "new_audio_fps", "audio_fps").isDefined)
+      graft.data.TableIO.write(accumulatedAudioFps(spark, priorDirs).toDF(), s"$outDir/audio_fps")
+    if (readIf(spark, priorDirs.head, "new_audio_ct_fps", "audio_ct_fps").isDefined)
+      graft.data.TableIO.write(accumulatedAudioCtFps(spark, priorDirs).toDF(), s"$outDir/audio_ct_fps")
     graft.data.TableIO.write(clusters, s"$outDir/clusters")
   }
 
@@ -440,9 +549,13 @@ object IncrementalDedup {
     * rule, README.md:18). Execution knobs (partitions, caps, strategy) may
     * differ run to run. */
   private def cfgFingerprint(cfg: DedupConfig): Int =
-    (cfg.threshold, cfg.minSubseqLength, cfg.minSubseqRatio, cfg.pt,
+    ((cfg.threshold, cfg.minSubseqLength, cfg.minSubseqRatio, cfg.pt,
       cfg.maxTokensInPattern, cfg.editCosts, cfg.vocabIdfPenalty, cfg.shingleK,
-      cfg.minhashPerms, cfg.minhashBands, cfg.seed).hashCode()
+      cfg.minhashPerms, cfg.minhashBands, cfg.seed),
+      // the audio channels change which edges exist, so a chain must not
+      // mix audio-on and audio-off batches (or thresholds) silently
+      (cfg.useAudioChannel, cfg.audioMinCorr, cfg.useAudioContainment,
+        cfg.audioContainMinCorr)).hashCode()
 
   /** One at-least-once ingest step over `batch`: bootstrap the chain with a
     * full pipeline run on the first batch, increment on later ones, skip

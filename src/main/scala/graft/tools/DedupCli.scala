@@ -66,7 +66,8 @@ object DedupCli {
 
   private def incremental(args: Array[String], cpus: Int): Unit = {
     require(args.length >= 3,
-      "usage: DedupCli inc <synth:N[:firstId]|parquet> <outDir|-> <priorDirsCsv> [threshold] [minhash:0|1]")
+      "usage: DedupCli inc <synth:N[:firstId]|parquet> <outDir|-> <priorDirsCsv> " +
+        "[threshold] [minhash:0|1] [audio:0|1] [contain:0|1]")
     val spark = DedupPipeline.sessionBuilder("graft-dedup-inc", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val clips = readClips(spark, args(0), cpus)
@@ -74,6 +75,8 @@ object DedupCli {
     val cfg = DedupConfig(
       threshold = if (args.length > 3) args(3).toFloat else 0.8f,
       useMinhashChannel = args.length > 4 && args(4) == "minhash:1",
+      useAudioChannel = args.length > 5 && args(5) == "audio:1",
+      useAudioContainment = args.length > 6 && args(6) == "contain:1",
       shufflePartitions = cpus)
 
     val t0 = System.nanoTime()

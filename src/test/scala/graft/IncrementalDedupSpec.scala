@@ -217,6 +217,51 @@ class IncrementalDedupSpec extends AnyFunSuite {
         "discipline (eager localCheckpoint per O(new) intermediate) has regressed")
   }
 
+  test("audio channels incremental == full: committed fingerprints carry the audio state") {
+    import spark.implicits._
+    def structured(seed: Long, n: Int): Array[Short] =
+      Array.tabulate(n)(i =>
+        (500 + (graft.kernel.Hashing.mix64(seed * 1000003L + i) >>> 40) % 1500).toShort)
+    def awrap(id: String, samples: Array[Short], text: String) = {
+      val buf = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(buf.putShort)
+      Clip(id, graft.ops.AudioOps.wavWrap(buf.array(), 16000), 16000,
+        (samples.length * 1000L / 16000).toInt, "pcm_s16le", text)
+    }
+    val audA = structured(11L, 1600)
+    val audE = structured(55L, 1600)
+    // transcripts all mutually non-dup — every edge below is AUDIO-made
+    val oldA = Seq(
+      awrap("a1", audA, W.mkString(" ")),
+      awrap("a2", structured(22L, 1600), X.mkString(" ")),
+      awrap("s1", structured(33L, 1600), Y.mkString(" ")))
+    val newA = Seq(
+      // audio dup of OLD a1 (cross-boundary), different transcript
+      awrap("n1", audA, V.mkString(" ")),
+      // new↔new audio dup pair
+      awrap("n3", audE, words("g").mkString(" ")),
+      awrap("n4", audE, words("h").mkString(" ")),
+      // recording CONTAINING old a2's audio (cross-boundary containment)
+      awrap("n5", structured(66L, 320) ++ structured(22L, 1600) ++ structured(67L, 160),
+        words("j").mkString(" ")),
+      awrap("n2", structured(44L, 1600), words("k").mkString(" "))) // nothing
+    val acfg = cfg.copy(useAudioChannel = true, useAudioContainment = true)
+
+    val dir = freshDir("inc-audio-base")
+    DedupPipeline.run(oldA.toDS(), acfg, Some(dir))
+    val inc = IncrementalDedup.run(newA.toDS(), Seq(dir), acfg, Some(freshDir("inc-audio-out")))
+    val full = DedupPipeline.run((oldA ++ newA).toDS(), acfg)
+    assert(clusterSet(inc.clusters.collect()) == clusterSet(full.clusters.collect()))
+
+    // the planted cross-boundary edges, concretely, through the increment
+    val kinds = inc.newEdges.collect().map(e => (e.a, e.b, e.kind)).toSet
+    assert(kinds.exists(k => Set(k._1, k._2) == Set("n1", "a1") && k._3 == "audio"), kinds.toString)
+    assert(kinds.exists(k => Set(k._1, k._2) == Set("n3", "n4") && k._3 == "audio"), kinds.toString)
+    assert(kinds.exists(k => Set(k._1, k._2) == Set("n5", "a2") && k._3 == "audio_contain"), kinds.toString)
+    assert(!kinds.exists(k => k._1 == "n2" || k._2 == "n2"), kinds.toString)
+  }
+
   test("loud guards: id collision, idf, audio channels, incomplete prior state") {
     import spark.implicits._
     val dir0 = freshDir("inc-base4")
@@ -228,9 +273,11 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       IncrementalDedup.run(newClips.toDS(), Seq(dir0), cfg.copy(vocabIdfPenalty = 1f)))
     assert(e2.getMessage.contains("idf"))
-    val e3 = intercept[IllegalArgumentException](
+    // audio on against a chain bootstrapped WITHOUT it: fingerprints cannot
+    // be recomputed (no bytes in committed state) — must fail fast, loudly
+    val e3 = intercept[RuntimeException](
       IncrementalDedup.run(newClips.toDS(), Seq(dir0), cfg.copy(useAudioChannel = true)))
-    assert(e3.getMessage.contains("audio"))
+    assert(e3.getMessage.contains("audio_fps"))
     val e4 = intercept[RuntimeException](
       IncrementalDedup.run(newClips.toDS(), Seq(freshDir("inc-empty")), cfg))
     assert(e4.getMessage.contains("prior state incomplete"))
