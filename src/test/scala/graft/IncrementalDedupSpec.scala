@@ -250,7 +250,8 @@ class IncrementalDedupSpec extends AnyFunSuite {
 
     val dir = freshDir("inc-audio-base")
     DedupPipeline.run(oldA.toDS(), acfg, Some(dir))
-    val inc = IncrementalDedup.run(newA.toDS(), Seq(dir), acfg, Some(freshDir("inc-audio-out")))
+    val inc1Dir = freshDir("inc-audio-out")
+    val inc = IncrementalDedup.run(newA.toDS(), Seq(dir), acfg, Some(inc1Dir))
     val full = DedupPipeline.run((oldA ++ newA).toDS(), acfg)
     assert(clusterSet(inc.clusters.collect()) == clusterSet(full.clusters.collect()))
 
@@ -260,6 +261,20 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(kinds.exists(k => Set(k._1, k._2) == Set("n3", "n4") && k._3 == "audio"), kinds.toString)
     assert(kinds.exists(k => Set(k._1, k._2) == Set("n5", "a2") && k._3 == "audio_contain"), kinds.toString)
     assert(!kinds.exists(k => k._1 == "n2" || k._2 == "n2"), kinds.toString)
+
+    // fingerprints must survive the CHAIN: compact [base, inc1] into one
+    // head, then a further audio increment over it — m1 is an audio dup of
+    // the n3/n4 cluster, whose fingerprints only exist in the compacted
+    // tables (the original clips' bytes are long gone)
+    val cDir = freshDir("inc-audio-compact")
+    IncrementalDedup.compact(spark, Seq(dir, inc1Dir), acfg, cDir)
+    val newB = Seq(awrap("m1", audE, words("m").mkString(" ")))
+    val inc2 = IncrementalDedup.run(newB.toDS(), Seq(cDir), acfg)
+    val fullB = DedupPipeline.run((oldA ++ newA ++ newB).toDS(), acfg)
+    assert(clusterSet(inc2.clusters.collect()) == clusterSet(fullB.clusters.collect()))
+    val kinds2 = inc2.newEdges.collect().map(e => (Set(e.a, e.b), e.kind)).toSet
+    assert(kinds2.contains((Set("m1", "n3"), "audio")) || kinds2.contains((Set("m1", "n4"), "audio")),
+      kinds2.toString)
   }
 
   test("loud guards: id collision, idf, audio channels, incomplete prior state") {
