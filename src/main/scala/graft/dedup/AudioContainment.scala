@@ -54,6 +54,14 @@ import graft.ops.AudioOps
   */
 object AudioContainment {
 
+  /** Kernel knobs shared by the batch join, the stream-static probe and
+    * the incremental cross channel — increment == full and stream == batch
+    * hold only when all three agree, so they reference these, never
+    * literals. */
+  val defaultMinVotes = 3
+  val defaultInnerStride = 4
+  val defaultBucketCap = 512
+
   /** Containment fingerprint of one clip, over its active region.
     * `keys(i)` is the unsalted chunk hash whose window starts at bit
     * position `poss(i)`; `renv` is the raw RMS envelope of the first
@@ -78,54 +86,52 @@ object AudioContainment {
     * (the same single-row split as [[Stages.SignatureStage.one]]). */
   def one(c: Clip, frameMs: Int = 1, chunkBits: Int = 32,
           headLen: Int = 512, maxEnvFrames: Int = 2048): AudioCtRow = {
-    locally {
-      val samples = AudioDedup.activeRegion(AudioOps.decode(c))
-      val frameLen = math.max(1, c.sr_hz * frameMs / 1000)
-      val (env, rmsAll) = AudioDedup.rmsEnvelope(samples, frameLen)
-      val nFrames = env.length
-      val bits = AudioDedup.deltaBits(env)
-      val nBits = bits.length
+    val samples = AudioDedup.activeRegion(AudioOps.decode(c))
+    val frameLen = math.max(1, c.sr_hz * frameMs / 1000)
+    val (env, rmsAll) = AudioDedup.rmsEnvelope(samples, frameLen)
+    val nFrames = env.length
+    val bits = AudioDedup.deltaBits(env)
+    val nBits = bits.length
 
-      // whole-stream hash, content+length keyed: matches only an equal-
-      // bit-stream clip, at offset 0. Emitted for EVERY clip (not just
-      // the too-short ones) so the equal-length duplicate case survives
-      // even when periodic audio (e.g. steady tones) makes every windowed
-      // chunk key hot and the valve drops them all.
-      val streamKey = {
-        var h = Hashing.mix64(nBits.toLong | (1L << 63))
-        var b = 0
-        while (b < nBits) { h = Hashing.mix64(h * 31 + (if (bits(b)) 1L else 0L)); b += 1 }
-        h
-      }
-      val (keys, poss) =
-        if (nBits < chunkBits) (Array(streamKey), Array(0))
-        else {
-          val n = nBits - chunkBits + 1
-          val ks = new Array[Long](n + 1)
-          val ps = new Array[Int](n + 1)
-          var s = 0
-          while (s < n) {
-            ks(s) = Hashing.mix64(AudioDedup.packBits(bits, s, chunkBits) | (1L << 62))
-            ps(s) = s
-            s += 1
-          }
-          ks(n) = streamKey
-          ps(n) = 0
-          (ks, ps)
-        }
-
-      val renv = new Array[Float](math.min(nFrames, maxEnvFrames))
-      var f = 0
-      while (f < renv.length) { renv(f) = env(f).toFloat; f += 1 }
-
-      val rms = math.max(math.sqrt(rmsAll / math.max(1, samples.length)), 1e-9)
-      val hl = math.min(headLen, samples.length)
-      val head = new Array[Float](hl)
-      var i = 0
-      while (i < hl) { head(i) = (samples(i) / rms).toFloat; i += 1 }
-
-      AudioCtRow(c.clip_id, nFrames, head, renv, keys, poss)
+    // whole-stream hash, content+length keyed: matches only an equal-
+    // bit-stream clip, at offset 0. Emitted for EVERY clip (not just
+    // the too-short ones) so the equal-length duplicate case survives
+    // even when periodic audio (e.g. steady tones) makes every windowed
+    // chunk key hot and the valve drops them all.
+    val streamKey = {
+      var h = Hashing.mix64(nBits.toLong | (1L << 63))
+      var b = 0
+      while (b < nBits) { h = Hashing.mix64(h * 31 + (if (bits(b)) 1L else 0L)); b += 1 }
+      h
     }
+    val (keys, poss) =
+      if (nBits < chunkBits) (Array(streamKey), Array(0))
+      else {
+        val n = nBits - chunkBits + 1
+        val ks = new Array[Long](n + 1)
+        val ps = new Array[Int](n + 1)
+        var s = 0
+        while (s < n) {
+          ks(s) = Hashing.mix64(AudioDedup.packBits(bits, s, chunkBits) | (1L << 62))
+          ps(s) = s
+          s += 1
+        }
+        ks(n) = streamKey
+        ps(n) = 0
+        (ks, ps)
+      }
+
+    val renv = new Array[Float](math.min(nFrames, maxEnvFrames))
+    var f = 0
+    while (f < renv.length) { renv(f) = env(f).toFloat; f += 1 }
+
+    val rms = math.max(math.sqrt(rmsAll / math.max(1, samples.length)), 1e-9)
+    val hl = math.min(headLen, samples.length)
+    val head = new Array[Float](hl)
+    var i = 0
+    while (i < hl) { head(i) = (samples(i) / rms).toFloat; i += 1 }
+
+    AudioCtRow(c.clip_id, nFrames, head, renv, keys, poss)
   }
 
   /** Normalized-variance flatness test on raw envelope values (mirrors
@@ -265,8 +271,10 @@ object AudioContainment {
     * equal-length with the smaller clip_id (so each unordered dup pair
     * appears once). `innerStride` thins the inner-side probe chunks (the
     * outer side stays dense so every alignment is representable). */
-  def pairs(fps: Dataset[AudioCtRow], minCorr: Double = 0.95, minVotes: Int = 3,
-            innerStride: Int = 4, bucketCap: Int = 512,
+  def pairs(fps: Dataset[AudioCtRow], minCorr: Double = 0.95,
+            minVotes: Int = defaultMinVotes,
+            innerStride: Int = defaultInnerStride,
+            bucketCap: Int = defaultBucketCap,
             cappedBuckets: LongAccumulator): DataFrame = {
     val spark = fps.sparkSession
     import spark.implicits._

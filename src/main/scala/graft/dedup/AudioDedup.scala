@@ -58,6 +58,13 @@ object AudioDedup {
   /** Bins of the whole-clip envelope sketch. */
   val envBins = 64
 
+  /** Kernel knobs shared by the batch join, the stream-static probe and
+    * the incremental cross channel — increment == full and stream == batch
+    * hold only when all three agree, so they reference these, never
+    * literals. */
+  val defaultFrameWindow = 0.2
+  val defaultBucketCap = 512
+
   /** Narrow fingerprint pass. `frameMs` defaults small because the synth
     * corpus clips are 10–50 ms; real speech would use 20–30 ms frames. */
   def fingerprints(clips: Dataset[Clip], frameMs: Int = 1,
@@ -72,60 +79,58 @@ object AudioDedup {
     * per-row by the streaming stream-static audio edge operator). */
   def fingerprintOne(c: Clip, frameMs: Int = 1, chunkBits: Int = 8,
                      chunkStride: Int = 4, headLen: Int = 512): AudioFpRow = {
-    locally {
-      val samples = activeRegion(AudioOps.decode(c))
-      val frameLen = math.max(1, c.sr_hz * frameMs / 1000)
-      val (env, rmsAll) = rmsEnvelope(samples, frameLen)
-      val nFrames = env.length
-      val mean = {
-        var s = 0.0; var i = 0
-        while (i < nFrames) { s += env(i); i += 1 }
-        math.max(s / nFrames, 1e-9)
-      }
-      val bits = deltaBits(env)
-      val nBits = bits.length
-
-      // overlapping position-salted chunk hashes; clips too short for one
-      // full chunk get a single whole-stream hash so they still bucket
-      val chunks =
-        if (nBits < chunkBits) Array(chunkKey(0, packBits(bits, 0, nBits) | (1L << 62)))
-        else {
-          val out = new scala.collection.mutable.ArrayBuffer[Long]
-          var s = 0
-          while (s + chunkBits <= nBits) {
-            out += chunkKey(s / chunkStride, packBits(bits, s, chunkBits))
-            s += chunkStride
-          }
-          out.distinct.toArray
-        }
-
-      // whole-clip envelope sketch: 64 time-normalized bins, mean-normalized
-      // (amplitude invariance) — the verify gate that a 512-sample head
-      // alone cannot provide (shared intros / silent heads)
-      val envSk = new Array[Float](envBins)
-      var bi = 0
-      while (bi < envBins) {
-        val lo = (bi.toLong * nFrames / envBins).toInt
-        var hi2 = ((bi + 1).toLong * nFrames / envBins).toInt
-        if (hi2 <= lo) hi2 = lo + 1
-        var s = 0.0
-        var fe = lo
-        while (fe < hi2) { s += env(fe); fe += 1 }
-        envSk(bi) = (s / (hi2 - lo) / mean).toFloat
-        bi += 1
-      }
-
-      // bounded verify sketch: RMS-normalized head of the active region
-      // (the crop above already anchored sample 0 at the energy onset,
-      // sample-accurately — so two trim-variants align exactly)
-      val rms = math.max(math.sqrt(rmsAll / math.max(1, samples.length)), 1e-9)
-      val hl = math.min(headLen, samples.length)
-      val head = new Array[Float](hl)
-      var i = 0
-      while (i < hl) { head(i) = (samples(i) / rms).toFloat; i += 1 }
-
-      AudioFpRow(c.clip_id, nFrames, head, envSk, chunks)
+    val samples = activeRegion(AudioOps.decode(c))
+    val frameLen = math.max(1, c.sr_hz * frameMs / 1000)
+    val (env, rmsAll) = rmsEnvelope(samples, frameLen)
+    val nFrames = env.length
+    val mean = {
+      var s = 0.0; var i = 0
+      while (i < nFrames) { s += env(i); i += 1 }
+      math.max(s / nFrames, 1e-9)
     }
+    val bits = deltaBits(env)
+    val nBits = bits.length
+
+    // overlapping position-salted chunk hashes; clips too short for one
+    // full chunk get a single whole-stream hash so they still bucket
+    val chunks =
+      if (nBits < chunkBits) Array(chunkKey(0, packBits(bits, 0, nBits) | (1L << 62)))
+      else {
+        val out = new scala.collection.mutable.ArrayBuffer[Long]
+        var s = 0
+        while (s + chunkBits <= nBits) {
+          out += chunkKey(s / chunkStride, packBits(bits, s, chunkBits))
+          s += chunkStride
+        }
+        out.distinct.toArray
+      }
+
+    // whole-clip envelope sketch: 64 time-normalized bins, mean-normalized
+    // (amplitude invariance) — the verify gate that a 512-sample head
+    // alone cannot provide (shared intros / silent heads)
+    val envSk = new Array[Float](envBins)
+    var bi = 0
+    while (bi < envBins) {
+      val lo = (bi.toLong * nFrames / envBins).toInt
+      var hi2 = ((bi + 1).toLong * nFrames / envBins).toInt
+      if (hi2 <= lo) hi2 = lo + 1
+      var s = 0.0
+      var fe = lo
+      while (fe < hi2) { s += env(fe); fe += 1 }
+      envSk(bi) = (s / (hi2 - lo) / mean).toFloat
+      bi += 1
+    }
+
+    // bounded verify sketch: RMS-normalized head of the active region
+    // (the crop above already anchored sample 0 at the energy onset,
+    // sample-accurately — so two trim-variants align exactly)
+    val rms = math.max(math.sqrt(rmsAll / math.max(1, samples.length)), 1e-9)
+    val hl = math.min(headLen, samples.length)
+    val head = new Array[Float](hl)
+    var i = 0
+    while (i < hl) { head(i) = (samples(i) / rms).toFloat; i += 1 }
+
+    AudioFpRow(c.clip_id, nFrames, head, envSk, chunks)
   }
 
   /** Active region of a decoded clip: `[first, last]` sample whose
@@ -196,7 +201,8 @@ object AudioDedup {
     * and silent/flat heads, cannot clear the gate on head correlation
     * alone. */
   def pairs(fps: Dataset[AudioFpRow], minCorr: Double = 0.98,
-            frameWindow: Double = 0.2, bucketCap: Int = 512,
+            frameWindow: Double = defaultFrameWindow,
+            bucketCap: Int = defaultBucketCap,
             cappedBuckets: LongAccumulator): Dataset[Edge] = {
     val spark = fps.sparkSession
     import spark.implicits._

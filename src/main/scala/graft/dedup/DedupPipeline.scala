@@ -195,9 +195,18 @@ object DedupPipeline {
         timed("audio_verify", nClips,
           if (restoredStages("audio_edges")) Map("restored" -> "true") else Map.empty) {
           val acc = spark.sparkContext.longAccumulator("audioCappedBuckets")
-          audioE = checkpointed("audio_edges",
-            AudioDedup.pairs(AudioDedup.fingerprints(clips), minCorr = cfg.audioMinCorr,
-              cappedBuckets = acc))(_.as[Edge]).persist()
+          audioE = checkpointed("audio_edges", {
+            // decode once: the fingerprints feed the pair join AND (when
+            // checkpointing) the committed audio_fps table increments read;
+            // the table is written BEFORE pairs because pairs releases the
+            // shared fingerprint cache after its result materializes
+            val afps = AudioDedup.fingerprints(clips).persist()
+            checkpointDir.foreach { dir =>
+              if (!exists(spark, stagePath(dir, "audio_fps")))
+                graft.data.TableIO.write(afps.toDF(), stagePath(dir, "audio_fps"))
+            }
+            AudioDedup.pairs(afps, minCorr = cfg.audioMinCorr, cappedBuckets = acc)
+          })(_.as[Edge]).persist()
           audioE.count()
         }
         edges.union(audioE)
@@ -212,12 +221,18 @@ object DedupPipeline {
         timed("audio_contain", nClips,
           if (restoredStages("audio_contain_edges")) Map("restored" -> "true") else Map.empty) {
           val acc = spark.sparkContext.longAccumulator("audioCtCappedBuckets")
-          containE = checkpointed("audio_contain_edges",
-            AudioContainment.pairs(AudioContainment.fingerprints(clips),
+          containE = checkpointed("audio_contain_edges", {
+            val ctfps = AudioContainment.fingerprints(clips).persist()
+            checkpointDir.foreach { dir =>
+              if (!exists(spark, stagePath(dir, "audio_ct_fps")))
+                graft.data.TableIO.write(ctfps.toDF(), stagePath(dir, "audio_ct_fps"))
+            }
+            AudioContainment.pairs(ctfps,
               minCorr = cfg.audioContainMinCorr, cappedBuckets = acc)
               .select($"inner".as("a"), $"outer".as("b"), $"corr".as("score"),
                 lit(0).as("lcs"), lit("audio_contain").as("kind"))
-              .as[Edge])(_.as[Edge]).persist()
+              .as[Edge]
+          })(_.as[Edge]).persist()
           containE.count()
         }
         allEdges.union(containE)
@@ -249,9 +264,9 @@ object DedupPipeline {
       // commit time buys a pruned parquet read per increment instead.
       if (cfg.useMinhashChannel && !exists(spark, stagePath(dir, "signatures")))
         graft.data.TableIO.write(SignatureStage(toks, cfg).toDF(), stagePath(dir, "signatures"))
-      // same for the audio channels: committed fingerprints are what let an
-      // increment probe the old corpus without its BYTES (which committed
-      // state does not retain — fingerprints are the only audio residue)
+      // audio fingerprint backfill: the channel stages write these tables
+      // inline (decode once); this covers a dir whose channel checkpoint was
+      // restored from a run predating the inline write (re-decodes, once)
       if (cfg.useAudioChannel && !exists(spark, stagePath(dir, "audio_fps")))
         graft.data.TableIO.write(AudioDedup.fingerprints(clips).toDF(), stagePath(dir, "audio_fps"))
       if (cfg.useAudioContainment && !exists(spark, stagePath(dir, "audio_ct_fps")))

@@ -97,15 +97,23 @@ object IncrementalDedup {
         graft.data.TableIO.read(spark, s"$dir/$n")
     }
 
+  /** Chain walk shared by every committed-table accumulator: per dir, read
+    * the increment-segment table or the full-run table, failing loudly with
+    * the given hint when neither exists. */
+  private def accumulated(spark: SparkSession, priorDirs: Seq[String],
+      newName: String, name: String, hint: String): Seq[DataFrame] =
+    priorDirs.map { d =>
+      readIf(spark, d, newName, name).getOrElse(
+        sys.error(s"no committed $name table under $d — $hint"))
+    }
+
   /** Accumulated token rows across the lineage chain. */
   def accumulatedToks(spark: SparkSession, priorDirs: Seq[String]): Dataset[TokRow] = {
     import spark.implicits._
-    priorDirs.map { d =>
-      readIf(spark, d, "new_tokens", "tokens").getOrElse(
-        sys.error(s"no committed tokens/new_tokens table under $d — " +
-          "head must be a completed DedupPipeline.run checkpoint dir, " +
-          "tail entries completed IncrementalDedup outDirs")).as[TokRow]
-    }.reduce(_ union _)
+    accumulated(spark, priorDirs, "new_tokens", "tokens",
+      "head must be a completed DedupPipeline.run checkpoint dir, " +
+        "tail entries completed IncrementalDedup outDirs")
+      .map(_.as[TokRow]).reduce(_ union _)
   }
 
   /** Accumulated signatures; a dir without a signatures table (a
@@ -128,25 +136,20 @@ object IncrementalDedup {
     * channels must be bootstrapped with them ON. */
   def accumulatedAudioFps(spark: SparkSession, priorDirs: Seq[String]): Dataset[AudioDedup.AudioFpRow] = {
     import spark.implicits._
-    priorDirs.map { d =>
-      readIf(spark, d, "new_audio_fps", "audio_fps").getOrElse(
-        sys.error(s"no committed audio_fps table under $d — the audio channel needs " +
-          "fingerprints for every chain segment (committed state does not retain clip " +
-          "bytes); bootstrap the chain with useAudioChannel on, or run the full pipeline"))
-        .as[AudioDedup.AudioFpRow]
-    }.reduce(_ union _)
+    accumulated(spark, priorDirs, "new_audio_fps", "audio_fps",
+      "the audio channel needs fingerprints for every chain segment (committed " +
+        "state does not retain clip bytes); bootstrap the chain with " +
+        "useAudioChannel on, or run the full pipeline")
+      .map(_.as[AudioDedup.AudioFpRow]).reduce(_ union _)
   }
 
   /** Accumulated containment fingerprints; same no-fallback contract. */
   def accumulatedAudioCtFps(spark: SparkSession, priorDirs: Seq[String]): Dataset[AudioContainment.AudioCtRow] = {
     import spark.implicits._
-    priorDirs.map { d =>
-      readIf(spark, d, "new_audio_ct_fps", "audio_ct_fps").getOrElse(
-        sys.error(s"no committed audio_ct_fps table under $d — the audio containment " +
-          "channel needs fingerprints for every chain segment; bootstrap the chain with " +
-          "useAudioContainment on, or run the full pipeline"))
-        .as[AudioContainment.AudioCtRow]
-    }.reduce(_ union _)
+    accumulated(spark, priorDirs, "new_audio_ct_fps", "audio_ct_fps",
+      "the audio containment channel needs fingerprints for every chain segment; " +
+        "bootstrap the chain with useAudioContainment on, or run the full pipeline")
+      .map(_.as[AudioContainment.AudioCtRow]).reduce(_ union _)
   }
 
   /** Run one increment. `priorDirs`: the lineage chain (see object doc);
@@ -360,17 +363,23 @@ object IncrementalDedup {
       if (cfg.useAudioChannel) {
         newFps = phased("inc_audio")(AudioDedup.fingerprints(newClips).localCheckpoint())
         audioE = audioE.union(AudioDedup.pairs(newFps, cfg.audioMinCorr, cappedBuckets = audioCapped))
+        // guard BEFORE collect (distributed size agg) — the guard exists to
+        // keep an oversized batch off the driver, so it must not need it there
+        phased("inc_audio") {
+          val est = newFps.select(coalesce(sum(
+            size($"head") * 4 + size($"env") * 4 + size($"chunks") * 8 + 64), lit(0L)),
+            count(lit(1))).head()
+          guardIndex("incremental audio channel", est.getLong(1), est.getLong(0))
+        }
         val rows = phased("inc_audio")(newFps.collect())
-        guardIndex("incremental audio channel", rows.length.toLong,
-          rows.iterator.map(r => 64L + r.head.length * 4L + r.env.length * 4L + r.chunks.length * 8L).sum)
-        val (idxMap, capped) = AudioDedup.buildChunkIndex(rows, bucketCap = 512)
+        val (idxMap, capped) = AudioDedup.buildChunkIndex(rows, AudioDedup.defaultBucketCap)
         audioCapped.add(capped)
         val bcR = sc.broadcast(rows)
         val bcI = sc.broadcast(idxMap)
         val minCorr = cfg.audioMinCorr
         audioE = audioE.union(oldAudioFps.get.mapPartitions { it =>
           val rs = bcR.value; val ix = bcI.value
-          it.flatMap(f => AudioDedup.probeChunkIndex(f, rs, ix, minCorr, frameWindow = 0.2)
+          it.flatMap(f => AudioDedup.probeChunkIndex(f, rs, ix, minCorr, AudioDedup.defaultFrameWindow)
             .map { case (i, corr) => Edge(f.clip_id, rs(i).clip_id, corr, 0, "audio") })
         })
       }
@@ -381,19 +390,23 @@ object IncrementalDedup {
               cappedBuckets = audioCapped)
             .select($"inner".as("a"), $"outer".as("b"), $"corr".as("score"),
               lit(0).as("lcs"), lit("audio_contain").as("kind")).as[Edge])
+        phased("inc_audio") {
+          val est = newCtFps.select(coalesce(sum(
+            size($"head") * 4 + size($"renv") * 4 + size($"keys") * 8 +
+              size($"poss") * 4 + 64), lit(0L)),
+            count(lit(1))).head()
+          guardIndex("incremental audio containment channel", est.getLong(1), est.getLong(0))
+        }
         val rows = phased("inc_audio")(newCtFps.collect())
-        guardIndex("incremental audio containment channel", rows.length.toLong,
-          rows.iterator.map(r => 64L + r.head.length * 4L + r.renv.length * 4L +
-            r.keys.length * 8L + r.poss.length * 4L).sum)
-        val (idxMap, capped) = AudioContainment.buildPosIndex(rows, bucketCap = 512)
+        val (idxMap, capped) = AudioContainment.buildPosIndex(rows, AudioContainment.defaultBucketCap)
         audioCapped.add(capped)
         val bcR = sc.broadcast(rows)
         val bcI = sc.broadcast(idxMap)
         val minCorr = cfg.audioContainMinCorr
         audioE = audioE.union(oldCtFps.get.mapPartitions { it =>
           val rs = bcR.value; val ix = bcI.value
-          it.flatMap(f => AudioContainment.probePosIndex(f, rs, ix, minVotes = 3,
-              innerStride = 4, minCorr = minCorr)
+          it.flatMap(f => AudioContainment.probePosIndex(f, rs, ix,
+              AudioContainment.defaultMinVotes, AudioContainment.defaultInnerStride, minCorr)
             .map { case (ri, off, corr) => Edge(f.clip_id, rs(ri).clip_id, corr, off, "audio_contain") })
         })
       }
@@ -552,9 +565,12 @@ object IncrementalDedup {
     ((cfg.threshold, cfg.minSubseqLength, cfg.minSubseqRatio, cfg.pt,
       cfg.maxTokensInPattern, cfg.editCosts, cfg.vocabIdfPenalty, cfg.shingleK,
       cfg.minhashPerms, cfg.minhashBands, cfg.seed),
-      // the audio channels change which edges exist, so a chain must not
-      // mix audio-on and audio-off batches (or thresholds) silently
-      (cfg.useAudioChannel, cfg.audioMinCorr, cfg.useAudioContainment,
+      // EVERY channel toggle changes which edges exist, so a chain must not
+      // mix channel-on and channel-off batches (or thresholds) silently.
+      // (Changing this tuple invalidates pre-existing chain meta hashes —
+      // the documented recovery is re-bootstrapping into a fresh state dir.)
+      (cfg.useNgramChannel, cfg.useMinhashChannel,
+        cfg.useAudioChannel, cfg.audioMinCorr, cfg.useAudioContainment,
         cfg.audioContainMinCorr)).hashCode()
 
   /** One at-least-once ingest step over `batch`: bootstrap the chain with a

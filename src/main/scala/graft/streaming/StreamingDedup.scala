@@ -292,8 +292,8 @@ object StreamingDedup {
       streamClips: Dataset[Clip],
       corpus: Dataset[Clip],
       cfg: DedupConfig,
-      frameWindow: Double = 0.2,
-      bucketCap: Int = 512,
+      frameWindow: Double = graft.dedup.AudioDedup.defaultFrameWindow,
+      bucketCap: Int = graft.dedup.AudioDedup.defaultBucketCap,
       cappedBuckets: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Edge] = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -307,10 +307,12 @@ object StreamingDedup {
         "stream-static audio edges need a broadcastable corpus — run the " +
         "batch AudioDedup.pairs channel instead")
     val estBytes = fps.select(
-      org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.size($"head") * 4 +
-          org.apache.spark.sql.functions.size($"env") * 4 +
-          org.apache.spark.sql.functions.size($"chunks") * 8 + 64)).as[Long].head()
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.size($"head") * 4 +
+            org.apache.spark.sql.functions.size($"env") * 4 +
+            org.apache.spark.sql.functions.size($"chunks") * 8 + 64),
+        org.apache.spark.sql.functions.lit(0L))).as[Long].head()
     require(estBytes <= cfg.broadcastMaxBytes,
       s"corpus fingerprints estimated at $estBytes bytes > broadcastMaxBytes " +
         s"${cfg.broadcastMaxBytes}: stream-static audio edges need a " +
@@ -361,9 +363,9 @@ object StreamingDedup {
       streamClips: Dataset[Clip],
       corpus: Dataset[Clip],
       cfg: DedupConfig,
-      minVotes: Int = 3,
-      innerStride: Int = 4,
-      bucketCap: Int = 512,
+      minVotes: Int = graft.dedup.AudioContainment.defaultMinVotes,
+      innerStride: Int = graft.dedup.AudioContainment.defaultInnerStride,
+      bucketCap: Int = graft.dedup.AudioContainment.defaultBucketCap,
       cappedBuckets: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Edge] = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -378,11 +380,13 @@ object StreamingDedup {
         "stream-static audio containment needs a broadcastable corpus — run " +
         "the batch AudioContainment.pairs channel instead")
     val estBytes = fps.select(
-      org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.size($"renv") * 4 +
-          org.apache.spark.sql.functions.size($"head") * 4 +
-          org.apache.spark.sql.functions.size($"keys") * 8 +
-          org.apache.spark.sql.functions.size($"poss") * 4 + 64)).as[Long].head()
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.size($"renv") * 4 +
+            org.apache.spark.sql.functions.size($"head") * 4 +
+            org.apache.spark.sql.functions.size($"keys") * 8 +
+            org.apache.spark.sql.functions.size($"poss") * 4 + 64),
+        org.apache.spark.sql.functions.lit(0L))).as[Long].head()
     require(estBytes <= cfg.broadcastMaxBytes,
       s"corpus containment fingerprints estimated at $estBytes bytes > " +
         s"broadcastMaxBytes ${cfg.broadcastMaxBytes}: stream-static audio " +

@@ -33,7 +33,8 @@ object DedupCli {
     if (args.headOption.contains("inc")) { incremental(args.drop(1), cpus); return }
     require(args.length >= 2,
       "usage: DedupCli <synth:N|parquet> <outDir|-> [threshold] [minhash:0|1] [audio:0|1] [contain:0|1]\n" +
-      "   or: DedupCli inc <synth:N[:firstId]|parquet> <outDir|-> <priorDirsCsv> [threshold] [minhash:0|1]")
+      "   or: DedupCli inc <synth:N[:firstId]|parquet> <outDir|-> <priorDirsCsv> " +
+      "[threshold] [minhash:0|1] [audio:0|1] [contain:0|1]")
     val spark = DedupPipeline.sessionBuilder("graft-dedup", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
