@@ -221,6 +221,37 @@ object CandidateStage {
       .as[CandPair]
   }
 
+  /** [[BucketEntry]] with a NUMERIC member id. The embedding channels' ids
+    * are vec_id longs; routing them through the string kernel cost a
+    * 19-char zero-padded encode per entry, string comparisons inside the
+    * join's orientation predicate (evaluated once per join-probe row — the
+    * df² hot loop) and string hashing in the pair dedup exchange (r6,
+    * guide §2.3 "narrower types": 8-byte keys through the hot shuffle).
+    * Join shape, valve and orientation semantics are IDENTICAL to
+    * [[bucketJoinPairs]]; with all-equal `n` the orientation is numeric
+    * a_id < b_id, which is exactly the output invariant the string path
+    * had to re-impose after decoding. */
+  final case class BucketEntryL(sh: Long, id: Long, n: Int, mx: Int)
+
+  /** [[bucketJoinPairs]] over numeric-id entries: emits (a_id, b_id) pair
+    * rows, oriented shorter-side-first (ties numerically by id). */
+  def bucketJoinPairsLong(
+      entries: Dataset[BucketEntryL],
+      cap: Int,
+      cappedBuckets: LongAccumulator,
+      cappedPairsLost: Option[LongAccumulator]): DataFrame = {
+    val spark = entries.sparkSession
+    import spark.implicits._
+    val cold = dropHotBuckets(entries.toDF(), cap, cappedBuckets, cappedPairsLost)
+    val a = cold.select($"sh", $"id".as("a_id"), $"n".as("a_n"), $"mx".as("a_mx"))
+    val b = cold.select($"sh".as("b_sh"), $"id".as("b_id"), $"n".as("b_n"))
+    a.join(b,
+        $"sh" === $"b_sh" &&
+        ($"a_n" < $"b_n" || ($"a_n" === $"b_n" && $"a_id" < $"b_id")) &&
+        $"b_n" <= $"a_mx")
+      .select($"a_id", $"b_id")
+  }
+
   /** Channel A: exact shingle join. */
   def ngramChannel(
       toks: Dataset[TokRow],

@@ -155,18 +155,19 @@ object PipelineQueries {
     // Hyperplanes are generated lazily per PARTITION from a fixed seed and
     // the dimension of the first row seen — identical on every partition
     // (deterministic PRNG stream), so no driver-side head() job and no
-    // broadcast is needed to learn the embedding dim. Ids are zero-padded
-    // signed-decimal strings: a TOTAL order for the kernel's pair dedup (one
-    // orientation per unordered pair), though lexicographic ≠ numeric among
-    // negatives — the a_id < b_id output invariant is therefore re-imposed
-    // NUMERICALLY after the decode below, so negative vec_ids are safe.
+    // broadcast is needed to learn the embedding dim. Ids ride the join as
+    // NATIVE longs (r6, guide §2.3 narrower types — the old 19-char
+    // zero-padded string encode paid string compares in the join's
+    // orientation predicate per probe row and string hashing per dedup row,
+    // then still needed a numeric least/greatest re-canonicalization for
+    // negative ids; the numeric orientation IS the output invariant).
     // Persisted: the hot-bucket valve's stats job and the main bucket join
     // both read the entries, and the sketch pass (bands×bits hyperplane
     // dots per row) is the expensive part — unlike the dedup channels'
     // cheap hash entries, recomputing it for the second read would double
-    // the dominant map work. The cached set is (long, string, int, int) —
-    // the same order as the embedding column and disk-spillable; released
-    // by the caller's handle once the pair set materializes.
+    // the dominant map work. The cached set is (long, long, int, int) —
+    // disk-spillable; released by the caller's handle once the pair set
+    // materializes.
     val entries = e.mapPartitions { it =>
       var ps: Array[Array[Double]] = null
       it.flatMap { case (id, emb) =>
@@ -186,19 +187,12 @@ object PipelineQueries {
             b += 1
           }
           // equal `n` on every entry ⇒ the kernel orients purely by id
-          CandidateStage.BucketEntry((band.toLong << 32) | sketch, f"$id%019d", 1, Int.MaxValue)
+          CandidateStage.BucketEntryL((band.toLong << 32) | sketch, id, 1, Int.MaxValue)
         }
       }
     }.persist()
-    val pairs = CandidateStage.bucketJoinPairs(entries, bucketCap, cappedBuckets, None)
-      .toDF("a_id", "b_id")
+    val pairs = CandidateStage.bucketJoinPairsLong(entries, bucketCap, cappedBuckets, None)
       .dropDuplicates("a_id", "b_id")
-      // decode, then canonicalize numerically (the string dedup above is
-      // complete per unordered pair for ANY total order; only the output
-      // orientation must be numeric — least/greatest fixes negative ids)
-      .select(
-        least(col("a_id").cast("long"), col("b_id").cast("long")).as("a_id"),
-        greatest(col("a_id").cast("long"), col("b_id").cast("long")).as("b_id"))
 
     // ONE re-join of the deduplicated id pairs to the embeddings for the
     // cosine verify (each side a codegen equi-join; norms computed inside
@@ -228,13 +222,44 @@ object PipelineQueries {
   }
 
   /** Top-k window over a (a_id, b_id, sim) pair set — both directions →
-    * top-k neighbors per query. */
+    * top-k neighbors per query. The candidate volume is O(pairs) (at the
+    * default 4-bit/24-band parameters most random-embedding pairs collide
+    * in ≥1 band), so the ranking window would otherwise shuffle and sort
+    * 2×|pairs| rows for a k·|queries|-row result. A per-partition top-k
+    * pre-reduction (r6, guide §2.3 "aggregate before you shuffle" — the
+    * window analog of partial aggregation) keeps only each partition's
+    * top-k per q_id under the EXACT window order (sim desc, c_id asc; c_id
+    * unique per q_id after the pair dedup), which provably contains the
+    * global top-k; the window then ranks the reduced set. */
   private def topkOfSims(sims: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = sims.sparkSession
+    import spark.implicits._
     val both = sims.select(col("a_id").as("q_id"), col("b_id").as("c_id"), col("sim"))
       .union(sims.select(col("b_id").as("q_id"), col("a_id").as("c_id"), col("sim")))
+    val reduced = both.as[(Long, Long, Double)].mapPartitions { it =>
+      // per q_id bounded heap, head = WORST kept under (sim desc, c_id asc)
+      // (PriorityQueue.head is the ordering's maximum, so the ordering
+      // ranks worse entries higher: lower sim, ties broken by larger c_id)
+      val ord = Ordering.fromLessThan[(Long, Double)] { (x, y) =>
+        y._2 < x._2 || (y._2 == x._2 && y._1 > x._1)
+      }
+      val heaps = new java.util.HashMap[Long, scala.collection.mutable.PriorityQueue[(Long, Double)]]()
+      it.foreach { case (q, c, sim) =>
+        var h = heaps.get(q)
+        if (h == null) { h = scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord); heaps.put(q, h) }
+        if (h.size < k) h.enqueue((c, sim))
+        else {
+          val (wc, ws) = h.head
+          if (sim > ws || (sim == ws && c < wc)) { h.dequeue(); h.enqueue((c, sim)) }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      heaps.forEach((q, h) => h.foreach { case (c, s) => out += ((q, c, s)) })
+      out.iterator
+    }.toDF("q_id", "c_id", "sim")
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
-    both
+    reduced
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), round(col("sim"), 4).as("sim"),

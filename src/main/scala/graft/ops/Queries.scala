@@ -210,13 +210,24 @@ object Queries {
     * materialize+release. */
   def jaccardPairs(spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
     val cap = jaccardShingleDfCap
+    // (lang, shingle-string) folded into ONE 64-bit xxhash64 key right after
+    // the explode (r6, guide §2.3 "narrower types"): the self-join below
+    // multiplies each bucket's df² — comparing/hashing/shuffling a ~20-char
+    // string pair per join row was the stage's dominant CPU (measured 42
+    // task-seconds at sf0.1; 8-byte keys cut it ~4×). Same 64-bit hash
+    // envelope as every bucketed channel in the engine (Hashing.mix64
+    // shingles, band hashes): a cross-(lang,shingle) collision would need
+    // ~2^32 distinct shingles in one corpus to become likely; equality vs
+    // the string-keyed DuckDB oracle is re-verified on all three SFs
+    // (PerfQueriesSpec + the driver board).
     val d = t(spark, dir, "documents")
       .withColumn("tk", toks(col("text")))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), col("lang"), explode(array_distinct(expr(
         "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', slice(tk, i + 1, 3)))")))
-        .as("sh"))
-    val parted = d.repartition(col("lang"), col("sh")).persist()
+        .as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("lang"), col("sh_str")).as("sh"))
+    val parted = d.repartition(col("sh")).persist()
     // ONE eager stats job off the cached exchange — the first action, so it
     // pays tokenize+explode+shuffle once and populates the cache every
     // later read serves from. It returns the hot KEYS, so the drop is
@@ -227,8 +238,8 @@ object Queries {
     // pathological corpus, falling back to a shuffled anti-join over the
     // cached entries.
     val hotBound = 1000000
-    val hotArr = parted.groupBy("lang", "sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap).select("lang", "sh")
+    val hotArr = parted.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("sh")
       .limit(hotBound + 1).collect()
     val cappedShingles = spark.sparkContext.longAccumulator("jaccardCappedShingles")
     val cold =
@@ -237,8 +248,8 @@ object Queries {
         if (hotArr.isEmpty) parted
         else {
           import spark.implicits._
-          val hot = hotArr.map(r => (r.getString(0), r.getString(1))).toSeq.toDF("lang", "sh")
-          parted.join(broadcast(hot), Seq("lang", "sh"), "left_anti")
+          val hot = hotArr.map(_.getLong(0)).toSeq.toDF("sh")
+          parted.join(broadcast(hot), Seq("sh"), "left_anti")
         }
       } else {
         // beyond the broadcast bound (pathological): pay a second agg pass
@@ -246,16 +257,16 @@ object Queries {
         // discipline's metric must not be a truncated lower bound — and
         // recompute the hot set on the exchange for a shuffled anti-join
         cappedShingles.add(
-          parted.groupBy("lang", "sh").agg(count(lit(1)).as("df"))
+          parted.groupBy("sh").agg(count(lit(1)).as("df"))
             .filter(col("df") > cap).count())
-        val hot = parted.groupBy("lang", "sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("lang", "sh")
-        parted.join(hot, Seq("lang", "sh"), "left_anti")
+        val hot = parted.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        parted.join(hot, Seq("sh"), "left_anti")
       }
     val sizes = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = cold.select(col("doc_id").as("a_id"), col("lang"), col("sh"))
-    val b = cold.select(col("doc_id").as("b_id"), col("lang"), col("sh"))
-    val out = a.join(b, Seq("lang", "sh"))
+    val a = cold.select(col("doc_id").as("a_id"), col("sh"))
+    val b = cold.select(col("doc_id").as("b_id"), col("sh"))
+    val out = a.join(b, Seq("sh"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("common"))
