@@ -109,28 +109,38 @@ object CandidateStage {
     * hot) yields c = max df — no capping at all; a Zipf head gets cut
     * exactly where its quadratic mass would exceed the linear budget.
     * Costs one extra partial-agg pass over the entries (the histogram),
-    * only when auto is requested. */
+    * only when auto is requested.
+    *
+    * The knee is computed DISTRIBUTED (r6, the r5 verdict's wart #3): the
+    * histogram's cumulative-work running sum is a window over df ascending
+    * and the chosen cap is the largest df whose cumulative work fits the
+    * budget — cumWork is monotone in df, so this is exactly the old
+    * sequential scan — and only ONE row ever reaches the driver, where the
+    * previous formulation collected the whole (df, buckets) histogram
+    * unbounded (cardinality = distinct df values: small in practice, no
+    * hard bound on a pathological corpus). The single-partition window is
+    * over histogram rows, not entries. */
   private def autoCap(entries: org.apache.spark.sql.DataFrame, workFactor: Long): Int = {
-    val spark = entries.sparkSession
-    import spark.implicits._
-    val hist = entries.groupBy("sh").agg(count(lit(1)).as("df"))
-      .groupBy("df").agg(count(lit(1)).as("buckets")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    if (hist.isEmpty) return autoCapFloor
-    val n = hist.iterator.map { case (df, b) => df * b }.sum
-    val budget = n * workFactor
-    var work = 0L
-    var c = 0L
-    var i = 0
-    var stop = false
-    while (i < hist.length && !stop) {
-      val (df, b) = hist(i)
-      val w = df * df * b
-      if (work + w <= budget) { work += w; c = df; i += 1 } else stop = true
-    }
-    val chosen = math.max(c, autoCapFloor.toLong).min(Int.MaxValue.toLong).toInt
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy("df").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("df")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val r = entries.groupBy("sh").agg(count(lit(1)).as("df"))
+      .groupBy("df").agg(count(lit(1)).as("buckets"))
+      .withColumn("cumWork", sum(col("df") * col("df") * col("buckets")).over(wCum))
+      .withColumn("n", sum(col("df") * col("buckets")).over(wAll))
+      .withColumn("maxDf", max(col("df")).over(wAll))
+      .agg(
+        coalesce(max(when(col("cumWork") <= col("n") * workFactor, col("df"))), lit(0L)).as("c"),
+        coalesce(max(when(col("cumWork") <= col("n") * workFactor, col("cumWork"))), lit(0L)).as("keptWork"),
+        coalesce(max(col("n")), lit(0L)).as("n"),
+        coalesce(max(col("maxDf")), lit(0L)).as("maxDf"))
+      .head()
+    if (r.getLong(2) == 0L) return autoCapFloor // empty entry set
+    val chosen = math.max(r.getLong(0), autoCapFloor.toLong).min(Int.MaxValue.toLong).toInt
     System.err.println(s"[candidates] auto df-cap=$chosen " +
-      s"(entries=$n, workFactor=$workFactor, maxDf=${hist.last._1}, keptWork=$work)")
+      s"(entries=${r.getLong(2)}, workFactor=$workFactor, maxDf=${r.getLong(3)}, " +
+      s"keptWork=${r.getLong(1)})")
     chosen
   }
 
@@ -152,15 +162,27 @@ object CandidateStage {
     *
     * `cap` encoding: > 0 = that fixed cap; 0 = AUTO with
     * [[autoCapDefaultWorkFactor]]; < 0 = AUTO with work factor −cap (see
-    * [[autoCap]]). */
+    * [[autoCap]]).
+    *
+    * `precomputedHot`: hot keys already computed (and counted into the
+    * accumulators) by [[batchedHotStats]] — the per-invocation stats job is
+    * then skipped entirely. */
   private[graft] def dropHotBuckets(
       entries: org.apache.spark.sql.DataFrame,
       cap: Int,
       cappedBuckets: LongAccumulator,
       cappedPairsLost: Option[LongAccumulator],
-      broadcastBound: Int = hotKeyBroadcastBound): org.apache.spark.sql.DataFrame = {
+      broadcastBound: Int = hotKeyBroadcastBound,
+      precomputedHot: Option[Array[Long]] = None): org.apache.spark.sql.DataFrame = {
     val spark = entries.sparkSession
     import spark.implicits._
+    precomputedHot match {
+      case Some(keys) =>
+        val parted0 = entries.repartition(col("sh"))
+        return if (keys.isEmpty) parted0
+        else parted0.join(broadcast(keys.toSeq.toDF("sh")), Seq("sh"), "left_anti")
+      case None =>
+    }
     val effCap =
       if (cap > 0) cap
       else autoCap(entries, if (cap == 0) autoCapDefaultWorkFactor else -cap.toLong)
@@ -197,6 +219,46 @@ object CandidateStage {
     }
   }
 
+  /** ONE eager stats job for SEVERAL bucketed entry sets (r6): each channel
+    * valve previously ran its own hot-key stats action — ~0.2 s of fixed
+    * job cost each on a toy corpus and one full entry-generation pass each
+    * at scale. Tagging the entry sets and aggregating the union computes
+    * every set's hot keys (per-set cap) in a single job; metrics are
+    * counted into each set's accumulators here, exactly once, on the
+    * driver. Returns per set Some(hotKeys) — or None for EVERY set when
+    * the combined hot-key count exceeds `broadcastBound` (pathological;
+    * the caller's [[dropHotBuckets]] then runs its own beyond-bound
+    * shuffled-anti-join path with exact metrics). Sets with AUTO caps
+    * (cap ≤ 0) must not be passed here — they need the per-set histogram. */
+  private[graft] def batchedHotStats(
+      specs: Seq[(org.apache.spark.sql.DataFrame, Int, LongAccumulator, Option[LongAccumulator])],
+      broadcastBound: Int = hotKeyBroadcastBound): Seq[Option[Array[Long]]] = {
+    require(specs.nonEmpty && specs.forall(_._2 > 0), "batchedHotStats needs fixed caps")
+    val spark = specs.head._1.sparkSession
+    val tagged = specs.zipWithIndex
+      .map { case ((e, _, _, _), i) => e.select(lit(i).as("tag"), col("sh")) }
+      .reduce(_ union _)
+    val hotCond = specs.zipWithIndex
+      .map { case ((_, cap, _, _), i) => col("tag") === i && col("df") > cap }
+      .reduce(_ || _)
+    val hotArr = tagged.groupBy("tag", "sh").agg(count(lit(1)).as("df"))
+      .filter(hotCond)
+      .limit(broadcastBound + 1)
+      .collect()
+    if (hotArr.length > broadcastBound) return specs.map(_ => None)
+    val byTag = hotArr.groupBy(_.getInt(0))
+    specs.zipWithIndex.map { case ((_, _, cappedBuckets, cappedPairsLost), i) =>
+      val rows = byTag.getOrElse(i, Array.empty)
+      cappedBuckets.add(rows.length)
+      cappedPairsLost.foreach { acc =>
+        var pairs = 0L
+        rows.foreach { r => val df = r.getLong(2); pairs += df * (df - 1) / 2 }
+        acc.add(pairs)
+      }
+      Some(rows.map(_.getLong(1)))
+    }
+  }
+
   /** Shared bucket→pairs kernel for channels A and B (and the simhash
     * query): [[dropHotBuckets]] valve, then an equi-SELF-join of the cold
     * entries on the bucket hash, orienting each pair (shorter side =
@@ -206,10 +268,12 @@ object CandidateStage {
       entries: Dataset[BucketEntry],
       cap: Int,
       cappedBuckets: LongAccumulator,
-      cappedPairsLost: Option[LongAccumulator]): Dataset[CandPair] = {
+      cappedPairsLost: Option[LongAccumulator],
+      precomputedHot: Option[Array[Long]] = None): Dataset[CandPair] = {
     val spark = entries.sparkSession
     import spark.implicits._
-    val cold = dropHotBuckets(entries.toDF(), cap, cappedBuckets, cappedPairsLost)
+    val cold = dropHotBuckets(entries.toDF(), cap, cappedBuckets, cappedPairsLost,
+      precomputedHot = precomputedHot)
 
     val a = cold.select($"sh", $"id".as("a_id"), $"n".as("a_n"), $"mx".as("a_mx"))
     val b = cold.select($"sh".as("b_sh"), $"id".as("b_id"), $"n".as("b_n"))
@@ -252,40 +316,48 @@ object CandidateStage {
       .select($"a_id", $"b_id")
   }
 
+  /** Channel A's inverted-index entries (shared with [[batchedHotStats]]). */
+  private def ngramEntries(toks: Dataset[TokRow], cfg: DedupConfig): Dataset[BucketEntry] = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val k = cfg.shingleK
+    val mx = maxAcceptTable(cfg.editCosts, cfg.threshold, cfg.maxTokensInPattern)
+    toks
+      .filter(_.n_tokens >= k) // shorter rows go through the tiny channel
+      .flatMap(t => Hashing.distinctShingles(t.ids, k).iterator
+        .map(h => BucketEntry(h, t.clip_id, t.n_tokens, mx(t.n_tokens))))
+  }
+
+  /** Channel B's band-bucket entries (shared with [[batchedHotStats]]). */
+  private def bandEntries(sigs: Dataset[SigRow], cfg: DedupConfig): Dataset[BucketEntry] = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val mx = maxAcceptTable(cfg.editCosts, cfg.threshold, cfg.maxTokensInPattern)
+    sigs.flatMap(s => s.band_hashes.iterator.zipWithIndex
+      .map { case (h, bd) =>
+        BucketEntry(Hashing.mix64(h ^ (bd * 0x9e3779b97f4a7c15L)), s.clip_id, s.n_tokens,
+          mx(s.n_tokens))
+      })
+  }
+
   /** Channel A: exact shingle join. */
   def ngramChannel(
       toks: Dataset[TokRow],
       cfg: DedupConfig,
       cappedBuckets: LongAccumulator,
-      cappedPairsLost: LongAccumulator): Dataset[CandPair] = {
-    val spark = toks.sparkSession
-    import spark.implicits._
-    val k = cfg.shingleK
-    val mx = maxAcceptTable(cfg.editCosts, cfg.threshold, cfg.maxTokensInPattern)
-
-    val entries = toks
-      .filter(_.n_tokens >= k) // shorter rows go through the tiny channel
-      .flatMap(t => Hashing.distinctShingles(t.ids, k).iterator
-        .map(h => BucketEntry(h, t.clip_id, t.n_tokens, mx(t.n_tokens))))
-    bucketJoinPairs(entries, cfg.shingleDfCap, cappedBuckets, Some(cappedPairsLost))
-  }
+      cappedPairsLost: LongAccumulator,
+      precomputedHot: Option[Array[Long]] = None): Dataset[CandPair] =
+    bucketJoinPairs(ngramEntries(toks, cfg), cfg.shingleDfCap, cappedBuckets,
+      Some(cappedPairsLost), precomputedHot)
 
   /** Channel B: MinHash band buckets. */
   def minhashChannel(
       sigs: Dataset[SigRow],
       cfg: DedupConfig,
-      cappedBuckets: LongAccumulator): Dataset[CandPair] = {
-    val spark = sigs.sparkSession
-    import spark.implicits._
-    val mx = maxAcceptTable(cfg.editCosts, cfg.threshold, cfg.maxTokensInPattern)
-
-    val entries = sigs.flatMap(s => s.band_hashes.iterator.zipWithIndex
-      .map { case (h, bd) =>
-        BucketEntry(Hashing.mix64(h ^ (bd * 0x9e3779b97f4a7c15L)), s.clip_id, s.n_tokens,
-          mx(s.n_tokens))
-      })
-    bucketJoinPairs(entries, cfg.bandDfCap, cappedBuckets, None)
-  }
+      cappedBuckets: LongAccumulator,
+      precomputedHot: Option[Array[Long]] = None): Dataset[CandPair] =
+    bucketJoinPairs(bandEntries(sigs, cfg), cfg.bandDfCap, cappedBuckets, None,
+      precomputedHot)
 
   /** Channel C: tiny patterns (fewer than shingleK tokens). A tiny pattern
     * can only match sentences containing its FULL token sequence as a
@@ -305,13 +377,18 @@ object CandidateStage {
     val fuzzy = cfg.threshold
     val ec = cfg.editCosts
 
-    val tiny: Array[(String, Array[Long], Int)] = toks
-      .filter(_.n_tokens < k)
-      .map(t => (t.clip_id, t.ids, t.n_tokens))
-      .take(cfg.tinyPatternBroadcastCap + 1)
-    if (tiny.length > cfg.tinyPatternBroadcastCap)
+    // count-first (r6): take(cap+1) on a corpus with NO tiny rows — the
+    // common case — pays up to 4 escalating limit-scan jobs (1, 4, 16, …
+    // partitions) before concluding empty; one count() job settles both the
+    // emptiness and the broadcast-envelope decision, and the collect runs
+    // only when tiny rows exist and fit
+    val tinyRows = toks.filter(_.n_tokens < k)
+    val nTiny = tinyRows.count()
+    if (nTiny == 0) return spark.emptyDataset[CandPair]
+    if (nTiny > cfg.tinyPatternBroadcastCap)
       return tinyChannelJoin(toks, cfg, cappedBuckets)
-    if (tiny.isEmpty) return spark.emptyDataset[CandPair]
+    val tiny: Array[(String, Array[Long], Int)] =
+      tinyRows.map(t => (t.clip_id, t.ids, t.n_tokens)).collect()
     val bc = spark.sparkContext.broadcast(tiny)
 
     toks.flatMap { row =>
@@ -469,13 +546,15 @@ object CandidateStage {
       qEntries: Dataset[QueryEntry],
       cEntries: Dataset[BucketEntry],
       cap: Int,
-      cappedBuckets: LongAccumulator): Dataset[CandPair] = {
+      cappedBuckets: LongAccumulator,
+      qHot: Option[Array[Long]] = None,
+      cHot: Option[Array[Long]] = None): Dataset[CandPair] = {
     val spark = qEntries.sparkSession
     import spark.implicits._
 
-    val q = dropHotBuckets(qEntries.toDF(), cap, cappedBuckets, None)
+    val q = dropHotBuckets(qEntries.toDF(), cap, cappedBuckets, None, precomputedHot = qHot)
       .select($"sh", $"id".as("q_id"), $"mn".as("q_mn"), $"mx".as("q_mx"))
-    val c = dropHotBuckets(cEntries.toDF(), cap, cappedBuckets, None)
+    val c = dropHotBuckets(cEntries.toDF(), cap, cappedBuckets, None, precomputedHot = cHot)
       .select($"sh".as("c_sh"), $"id".as("c_id"), $"n".as("c_n"))
     q.join(c, $"sh" === $"c_sh" && $"c_n" >= $"q_mn" && $"c_n" <= $"q_mx")
       .select($"q_id".as("p"), $"c_id".as("c"))
@@ -485,44 +564,65 @@ object CandidateStage {
   /** Cross-table channel A: exact shingle join (queries with ≥ k tokens —
     * the reference registers no ranges shorter than the clamped min-subseq
     * length, so a ≥ k-token pattern's candidates always share a k-gram). */
-  def crossNgramChannel(
-      qToks: Dataset[TokRow],
-      cToks: Dataset[TokRow],
-      cfg: DedupConfig,
-      cappedBuckets: LongAccumulator): Dataset[CandPair] = {
+  private[dedup] def crossNgramQEntries(qToks: Dataset[TokRow], cfg: DedupConfig): Dataset[QueryEntry] = {
     val spark = qToks.sparkSession
     import spark.implicits._
     val k = cfg.shingleK
     val (mn, mx) = acceptWindowTable(cfg.editCosts, cfg.threshold, cfg.maxTokensInPattern)
-    val qEntries = qToks
+    qToks
       .filter(_.n_tokens >= k)
       .flatMap(t => Hashing.distinctShingles(t.ids, k).iterator
         .map(h => QueryEntry(h, t.clip_id, t.n_tokens, mn(t.n_tokens), mx(t.n_tokens))))
-    val cEntries = cToks
+  }
+
+  private[dedup] def crossNgramCEntries(cToks: Dataset[TokRow], cfg: DedupConfig): Dataset[BucketEntry] = {
+    val spark = cToks.sparkSession
+    import spark.implicits._
+    val k = cfg.shingleK
+    cToks
       .filter(_.n_tokens >= k)
       .flatMap(t => Hashing.distinctShingles(t.ids, k).iterator
         .map(h => BucketEntry(h, t.clip_id, t.n_tokens, 0)))
-    crossBucketJoinPairs(qEntries, cEntries, cfg.shingleDfCap, cappedBuckets)
   }
+
+  def crossNgramChannel(
+      qToks: Dataset[TokRow],
+      cToks: Dataset[TokRow],
+      cfg: DedupConfig,
+      cappedBuckets: LongAccumulator,
+      qHot: Option[Array[Long]] = None,
+      cHot: Option[Array[Long]] = None): Dataset[CandPair] =
+    crossBucketJoinPairs(crossNgramQEntries(qToks, cfg), crossNgramCEntries(cToks, cfg),
+      cfg.shingleDfCap, cappedBuckets, qHot, cHot)
 
   /** Cross-table channel B: MinHash band buckets (the probabilistic
     * recovery path for pairs whose shared shingles are all hot). */
+  private[dedup] def crossBandQEntries(qSigs: Dataset[SigRow], cfg: DedupConfig): Dataset[QueryEntry] = {
+    val spark = qSigs.sparkSession
+    import spark.implicits._
+    val (mn, mx) = acceptWindowTable(cfg.editCosts, cfg.threshold, cfg.maxTokensInPattern)
+    qSigs.flatMap(s => s.band_hashes.iterator.zipWithIndex
+      .map { case (h, bd) => QueryEntry(Hashing.mix64(h ^ (bd * 0x9e3779b97f4a7c15L)),
+        s.clip_id, s.n_tokens, mn(s.n_tokens), mx(s.n_tokens)) })
+  }
+
+  private[dedup] def crossBandCEntries(cSigs: Dataset[SigRow], cfg: DedupConfig): Dataset[BucketEntry] = {
+    val spark = cSigs.sparkSession
+    import spark.implicits._
+    cSigs.flatMap(s => s.band_hashes.iterator.zipWithIndex
+      .map { case (h, bd) => BucketEntry(Hashing.mix64(h ^ (bd * 0x9e3779b97f4a7c15L)),
+        s.clip_id, s.n_tokens, 0) })
+  }
+
   def crossMinhashChannel(
       qSigs: Dataset[SigRow],
       cSigs: Dataset[SigRow],
       cfg: DedupConfig,
-      cappedBuckets: LongAccumulator): Dataset[CandPair] = {
-    val spark = qSigs.sparkSession
-    import spark.implicits._
-    val (mn, mx) = acceptWindowTable(cfg.editCosts, cfg.threshold, cfg.maxTokensInPattern)
-    def bandHash(h: Long, bd: Int): Long = Hashing.mix64(h ^ (bd * 0x9e3779b97f4a7c15L))
-    val qEntries = qSigs.flatMap(s => s.band_hashes.iterator.zipWithIndex
-      .map { case (h, bd) => QueryEntry(bandHash(h, bd), s.clip_id, s.n_tokens,
-        mn(s.n_tokens), mx(s.n_tokens)) })
-    val cEntries = cSigs.flatMap(s => s.band_hashes.iterator.zipWithIndex
-      .map { case (h, bd) => BucketEntry(bandHash(h, bd), s.clip_id, s.n_tokens, 0) })
-    crossBucketJoinPairs(qEntries, cEntries, cfg.bandDfCap, cappedBuckets)
-  }
+      cappedBuckets: LongAccumulator,
+      qHot: Option[Array[Long]] = None,
+      cHot: Option[Array[Long]] = None): Dataset[CandPair] =
+    crossBucketJoinPairs(crossBandQEntries(qSigs, cfg), crossBandCEntries(cSigs, cfg),
+      cfg.bandDfCap, cappedBuckets, qHot, cHot)
 
   /** Cross-table CONTAINMENT gram channel — the candidate generator for
     * beyond-memory subsequence retrieval (J4,
@@ -588,13 +688,14 @@ object CandidateStage {
     val fuzzy = cfg.threshold
     val ec = cfg.editCosts
 
-    val tiny: Array[(String, Array[Long], Int)] = qToks
-      .filter(_.n_tokens < k)
-      .map(t => (t.clip_id, t.ids, t.n_tokens))
-      .take(cfg.tinyPatternBroadcastCap + 1)
-    if (tiny.length > cfg.tinyPatternBroadcastCap)
+    // count-first — see tinyChannel (one job for the common no-tiny case)
+    val tinyRows = qToks.filter(_.n_tokens < k)
+    val nTiny = tinyRows.count()
+    if (nTiny == 0) return spark.emptyDataset[CandPair]
+    if (nTiny > cfg.tinyPatternBroadcastCap)
       return tinyJoinCore(qToks, cToks, cfg, cappedBuckets, selfDedup = false)
-    if (tiny.isEmpty) return spark.emptyDataset[CandPair]
+    val tiny: Array[(String, Array[Long], Int)] =
+      tinyRows.map(t => (t.clip_id, t.ids, t.n_tokens)).collect()
     val bc = spark.sparkContext.broadcast(tiny)
 
     cToks.flatMap { row =>
@@ -612,7 +713,9 @@ object CandidateStage {
     }
   }
 
-  /** Union of cross-table channels (queries vs corpus), deduplicated. */
+  /** Union of cross-table channels (queries vs corpus), deduplicated. With
+    * both keyed channels on fixed caps, all FOUR side valves (q/c per
+    * channel) share ONE batched hot-key stats job ([[batchedHotStats]]). */
   def cross(
       qToks: Dataset[TokRow],
       cToks: Dataset[TokRow],
@@ -625,10 +728,23 @@ object CandidateStage {
     val spark = qToks.sparkSession
     import spark.implicits._
     var cands = spark.emptyDataset[CandPair]
-    if (cfg.useNgramChannel)
-      cands = cands.union(crossNgramChannel(qToks, cToks, cfg, cappedShingleBuckets))
-    if (cfg.useMinhashChannel)
-      cands = cands.union(crossMinhashChannel(qSigs, cSigs, cfg, cappedBandBuckets))
+    val batchable = cfg.useNgramChannel && cfg.useMinhashChannel &&
+      cfg.shingleDfCap > 0 && cfg.bandDfCap > 0
+    if (batchable) {
+      val hots = batchedHotStats(Seq(
+        (crossNgramQEntries(qToks, cfg).toDF(), cfg.shingleDfCap, cappedShingleBuckets, None),
+        (crossNgramCEntries(cToks, cfg).toDF(), cfg.shingleDfCap, cappedShingleBuckets, None),
+        (crossBandQEntries(qSigs, cfg).toDF(), cfg.bandDfCap, cappedBandBuckets, None),
+        (crossBandCEntries(cSigs, cfg).toDF(), cfg.bandDfCap, cappedBandBuckets, None)))
+      cands = cands
+        .union(crossNgramChannel(qToks, cToks, cfg, cappedShingleBuckets, hots(0), hots(1)))
+        .union(crossMinhashChannel(qSigs, cSigs, cfg, cappedBandBuckets, hots(2), hots(3)))
+    } else {
+      if (cfg.useNgramChannel)
+        cands = cands.union(crossNgramChannel(qToks, cToks, cfg, cappedShingleBuckets))
+      if (cfg.useMinhashChannel)
+        cands = cands.union(crossMinhashChannel(qSigs, cSigs, cfg, cappedBandBuckets))
+    }
     cands = cands.union(crossTinyChannel(qToks, cToks, cfg, cappedTinyGramBuckets))
     cands.dropDuplicates("p", "c").as[CandPair]
   }
@@ -647,7 +763,9 @@ object CandidateStage {
     false
   }
 
-  /** Union of enabled channels, deduplicated. */
+  /** Union of enabled channels, deduplicated. When both keyed channels run
+    * with fixed caps, their hot-key stats are computed in ONE batched job
+    * ([[batchedHotStats]]) instead of one eager action per channel. */
   def apply(
       toks: Dataset[TokRow],
       sigs: => Dataset[SigRow],
@@ -659,10 +777,22 @@ object CandidateStage {
     val spark = toks.sparkSession
     import spark.implicits._
     var cands = spark.emptyDataset[CandPair]
-    if (cfg.useNgramChannel)
-      cands = cands.union(ngramChannel(toks, cfg, cappedShingleBuckets, cappedShinglePairs))
-    if (cfg.useMinhashChannel)
-      cands = cands.union(minhashChannel(sigs, cfg, cappedBandBuckets))
+    val batchable = cfg.useNgramChannel && cfg.useMinhashChannel &&
+      cfg.shingleDfCap > 0 && cfg.bandDfCap > 0
+    if (batchable) {
+      val hots = batchedHotStats(Seq(
+        (ngramEntries(toks, cfg).toDF(), cfg.shingleDfCap,
+          cappedShingleBuckets, Some(cappedShinglePairs)),
+        (bandEntries(sigs, cfg).toDF(), cfg.bandDfCap, cappedBandBuckets, None)))
+      cands = cands
+        .union(ngramChannel(toks, cfg, cappedShingleBuckets, cappedShinglePairs, hots(0)))
+        .union(minhashChannel(sigs, cfg, cappedBandBuckets, hots(1)))
+    } else {
+      if (cfg.useNgramChannel)
+        cands = cands.union(ngramChannel(toks, cfg, cappedShingleBuckets, cappedShinglePairs))
+      if (cfg.useMinhashChannel)
+        cands = cands.union(minhashChannel(sigs, cfg, cappedBandBuckets))
+    }
     cands = cands.union(tinyChannel(toks, cfg, cappedTinyGramBuckets))
     cands.dropDuplicates("p", "c").as[CandPair]
   }

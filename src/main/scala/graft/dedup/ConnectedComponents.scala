@@ -22,12 +22,17 @@ final case class ClusterRow(clip_id: String, cluster_id: String)
   */
 object ConnectedComponents {
 
+  /** `knownEdgeCount`: pass the edge count when the caller has already
+    * materialized it (DedupPipeline/IncrementalDedup count the persisted
+    * edge set for their metrics) — recounting here was one redundant job
+    * per pipeline run (r6, job-count floor reduction). < 0 = unknown. */
   def apply(
       edges: Dataset[Edge],
       allIds: DataFrame,
       maxIterations: Int,
-      localEdgeCap: Long = 10000000L): Dataset[ClusterRow] = {
-    val nEdges = edges.count()
+      localEdgeCap: Long = 10000000L,
+      knownEdgeCount: Long = -1L): Dataset[ClusterRow] = {
+    val nEdges = if (knownEdgeCount >= 0) knownEdgeCount else edges.count()
     if (nEdges <= localEdgeCap) local(edges, allIds)
     else distributed(edges, allIds, maxIterations)
   }

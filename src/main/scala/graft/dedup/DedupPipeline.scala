@@ -119,8 +119,26 @@ object DedupPipeline {
 
     val nClips = clips.count()
 
-    // Stage 1: tokenize (narrow) — persist: reused by shingles + verify sides
-    val toks = checkpointed("tokens", TokenizeStage(clips, cfg))(_.as[TokRow])
+    // Stage 1: tokenize (narrow) — persist: reused by shingles + verify sides.
+    // On the EXPLICIT shuffle path the token cache is right-sized from the
+    // row count (~4k rows/partition — the r5 incremental-path lesson): the
+    // persisted set is re-scanned by the signature stage, both keyed
+    // channels' entry generators + the batched hot-key stats, the tiny
+    // count and the two verify map sides, and source partitioning tuned for
+    // the clip READ (e.g. 64 splits of a 24k-row corpus) charges every one
+    // of those scans a wave of near-empty tasks. Only ever DOWNSIZES: at
+    // scale rows/4096 exceeds any sane source partitioning and this is a
+    // no-op (the repartition only fires on over-partitioned small inputs,
+    // where the extra exchange is by definition tiny). The broadcast path
+    // keeps source partitioning — its dominant narrow stage is the
+    // per-row matcher probe, which wants the parallelism.
+    val srcParts = clips.rdd.getNumPartitions
+    val tokParts = math.max(1L, math.min(nClips / 4096 + 1, srcParts.toLong)).toInt
+    val toksStage = {
+      val t = TokenizeStage(clips, cfg)
+      if (cfg.strategy == "shuffle" && tokParts < srcParts) t.repartition(tokParts) else t
+    }
+    val toks = checkpointed("tokens", toksStage)(_.as[TokRow])
       .persist()
     val nToks = timed("tokenize", nClips)(toks.count())
 
@@ -133,11 +151,15 @@ object DedupPipeline {
     }
 
     var edgesV: Dataset[Edge] = null
+    // running count of the union edge set, accumulated from the per-stage
+    // counts below — the final nEdges recount action it replaces was one
+    // redundant job per run (every branch already counts its persisted set)
+    var nEdges = 0L
     val edges =
       if (useBroadcast) {
         // fast path: global shared read-only index (reference architecture),
         // candidate recall exact by construction — no LSH stage needed
-        timed("verify", nToks, Map("strategy" -> "broadcast") ++
+        nEdges += timed("verify", nToks, Map("strategy" -> "broadcast") ++
             (if (restoredStages("edges")) Map("restored" -> "true") else Map.empty)) {
           edgesV = checkpointed("edges", BroadcastVerifyStage(toks, cfg))(_.as[Edge]).persist()
           edgesV.count()
@@ -177,7 +199,7 @@ object DedupPipeline {
             "capped_band_buckets" -> cappedBandBuckets.value.toString,
             "capped_tiny_gram_buckets" -> cappedTinyGramBuckets.value.toString)
         })(cands.count())
-        timed("verify", nCands,
+        nEdges += timed("verify", nCands,
           if (restoredStages("edges")) Map("restored" -> "true") else Map.empty) {
           edgesV = checkpointed("edges", VerifyStage(toks, cands, cfg, nToks))(_.as[Edge]).persist()
           edgesV.count()
@@ -192,7 +214,7 @@ object DedupPipeline {
       if (!cfg.useAudioChannel) edges
       else {
         var audioE: Dataset[Edge] = null
-        timed("audio_verify", nClips,
+        nEdges += timed("audio_verify", nClips,
           if (restoredStages("audio_edges")) Map("restored" -> "true") else Map.empty) {
           val acc = spark.sparkContext.longAccumulator("audioCappedBuckets")
           audioE = checkpointed("audio_edges", {
@@ -218,7 +240,7 @@ object DedupPipeline {
       if (!cfg.useAudioContainment) allEdges
       else {
         var containE: Dataset[Edge] = null
-        timed("audio_contain", nClips,
+        nEdges += timed("audio_contain", nClips,
           if (restoredStages("audio_contain_edges")) Map("restored" -> "true") else Map.empty) {
           val acc = spark.sparkContext.longAccumulator("audioCtCappedBuckets")
           containE = checkpointed("audio_contain_edges", {
@@ -237,7 +259,6 @@ object DedupPipeline {
         }
         allEdges.union(containE)
       }
-    val nEdges = allEdgesCt.count()
 
     // Stage 3: connected components. The vertex universe is the INPUT clip
     // table, not the tokenized rows: clips dropped by TokenizeStage (empty
@@ -250,7 +271,7 @@ object DedupPipeline {
     timed("cluster", nEdges) {
       clusters = checkpointed("clusters",
         ConnectedComponents(allEdgesCt, clips.select($"clip_id").toDF(), cfg.ccMaxIterations,
-          cfg.ccLocalEdgeCap))(_.as[ClusterRow])
+          cfg.ccLocalEdgeCap, knownEdgeCount = nEdges))(_.as[ClusterRow])
         .persist()
       clusters.count()
     }

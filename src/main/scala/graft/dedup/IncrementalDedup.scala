@@ -213,16 +213,20 @@ object IncrementalDedup {
     // nulls — comparing all three keeps BOTH guards: a null clip_id and a
     // duplicate clip_id each fail loudly (a null key would otherwise flow
     // through the stages and silently vanish from the semi-joined assignment)
-    val (nNew, nNewNonNull, nNewDistinct) = phased("precheck") {
-      val r = newIds.agg(count(lit(1)), count($"clip_id"), count_distinct($"clip_id")).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
+    // both prechecks in ONE action (r6 job-floor cut): the batch-id stats
+    // agg and the prior-assignment collision count are independent one-row
+    // aggregates, cross-joined so a single head() materializes both
+    val (nNew, nNewNonNull, nNewDistinct, collisions) = phased("precheck") {
+      val stats = newIds.agg(count(lit(1)), count($"clip_id"), count_distinct($"clip_id"))
+      val coll = priorClusters.join(newIds, Seq("clip_id"), "left_semi")
+        .agg(count(lit(1)))
+      val r = stats.crossJoin(coll).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
     require(nNewNonNull == nNew,
       s"${nNew - nNewNonNull} rows in the new batch have null clip_id — every row needs a key")
     require(nNewDistinct == nNew,
       "duplicate clip_ids within the new batch — clip ids must be unique")
-    val collisions = phased("precheck")(
-      priorClusters.join(newIds, Seq("clip_id"), "left_semi").count())
     require(collisions == 0,
       s"$collisions new clip_ids already exist in the prior assignment — an increment " +
         "adds NEW rows; re-ingesting an id would leave two assignment rows for it")
@@ -258,15 +262,26 @@ object IncrementalDedup {
     val seed = cfg.seed
     val perms = cfg.minhashPerms
     val bands = cfg.minhashBands
-    def collectKeys(ds: Dataset[Long]): Option[Array[Long]] = phased("prefilter_keys") {
-      val arr = ds.distinct().limit(prefilterMaxKeys + 1).collect()
-      if (arr.length > prefilterMaxKeys) None
-      else { java.util.Arrays.sort(arr); Some(arr) }
+    // ONE tagged job for both key sets (was two actions — r6 job-floor cut):
+    // shingle keys tagged 0, band keys tagged 1, distinct'd together. The
+    // limit bounds the driver; a collect that HITS the limit may have
+    // dropped keys of either side, so both sides then report incomplete
+    // (prefilter off — always sound, the filter is an optimization).
+    val (shKeys, bandKeys) = phased("prefilter_keys") {
+      val keyLimit = 2 * (prefilterMaxKeys + 1)
+      val tagged = newToks.filter(_.n_tokens >= k)
+        .flatMap(t => Hashing.distinctShingles(t.ids, k).iterator.map(h => (0, h)))
+        .union(newSigs.flatMap(s => s.band_hashes.iterator.zipWithIndex
+          .map { case (h, bd) => (1, Hashing.mix64(h ^ (bd * 0x9e3779b97f4a7c15L))) }))
+        .distinct().limit(keyLimit).collect()
+      def side(tag: Int): Option[Array[Long]] = {
+        if (tagged.length >= keyLimit) return None // possibly truncated
+        val arr = tagged.collect { case (t, h) if t == tag => h }
+        if (arr.length > prefilterMaxKeys) None
+        else { java.util.Arrays.sort(arr); Some(arr) }
+      }
+      (side(0), side(1))
     }
-    val shKeys = collectKeys(newToks.filter(_.n_tokens >= k)
-      .flatMap(t => Hashing.distinctShingles(t.ids, k).iterator))
-    val bandKeys = collectKeys(newSigs.flatMap(s => s.band_hashes.iterator.zipWithIndex
-      .map { case (h, bd) => Hashing.mix64(h ^ (bd * 0x9e3779b97f4a7c15L)) }))
 
     // frontier = old rows that can possibly pair with the batch through the
     // keyed channels; past the key bound the frontier is the whole old side
@@ -297,14 +312,35 @@ object IncrementalDedup {
       cappedShinglePairs, cappedBandBuckets, cappedTinyGramBuckets)
     // new↔old: cross channels; the keyed ones probe only the frontier, the
     // tiny containment scans run against the FULL old side (both directions —
-    // a tiny host shares no k-shingle or band with its containee)
+    // a tiny host shares no k-shingle or band with its containee). With
+    // fixed caps all four side valves share ONE batched hot-key stats job
+    // (r6 — was four eager stats actions per increment).
     var crossCands = spark.emptyDataset[CandPair]
-    if (cfg.useNgramChannel)
-      crossCands = crossCands.union(
-        CandidateStage.crossNgramChannel(newToks, frontierToks, cfg, cappedShingleBuckets))
-    if (cfg.useMinhashChannel)
-      crossCands = crossCands.union(
-        CandidateStage.crossMinhashChannel(newSigs, frontierSigs, cfg, cappedBandBuckets))
+    val crossBatchable = cfg.useNgramChannel && cfg.useMinhashChannel &&
+      cfg.shingleDfCap > 0 && cfg.bandDfCap > 0
+    if (crossBatchable) {
+      val hots = phased("inc_candidates")(CandidateStage.batchedHotStats(Seq(
+        (CandidateStage.crossNgramQEntries(newToks, cfg).toDF(), cfg.shingleDfCap,
+          cappedShingleBuckets, None),
+        (CandidateStage.crossNgramCEntries(frontierToks, cfg).toDF(), cfg.shingleDfCap,
+          cappedShingleBuckets, None),
+        (CandidateStage.crossBandQEntries(newSigs, cfg).toDF(), cfg.bandDfCap,
+          cappedBandBuckets, None),
+        (CandidateStage.crossBandCEntries(frontierSigs, cfg).toDF(), cfg.bandDfCap,
+          cappedBandBuckets, None))))
+      crossCands = crossCands
+        .union(CandidateStage.crossNgramChannel(newToks, frontierToks, cfg,
+          cappedShingleBuckets, hots(0), hots(1)))
+        .union(CandidateStage.crossMinhashChannel(newSigs, frontierSigs, cfg,
+          cappedBandBuckets, hots(2), hots(3)))
+    } else {
+      if (cfg.useNgramChannel)
+        crossCands = crossCands.union(
+          CandidateStage.crossNgramChannel(newToks, frontierToks, cfg, cappedShingleBuckets))
+      if (cfg.useMinhashChannel)
+        crossCands = crossCands.union(
+          CandidateStage.crossMinhashChannel(newSigs, frontierSigs, cfg, cappedBandBuckets))
+    }
     crossCands = crossCands
       .union(CandidateStage.crossTinyChannel(newToks, oldToks, cfg, cappedTinyGramBuckets))
       .union(CandidateStage.crossTinyChannel(oldToks, newToks, cfg, cappedTinyGramBuckets))
@@ -337,7 +373,8 @@ object IncrementalDedup {
     val verifyToks = newToks.union(
       oldToks.join(candIds, Seq("clip_id"), "left_semi").as[TokRow])
     var newEdges: Dataset[Edge] = null
-    timed("inc_verify", nCands) {
+    var nNewEdges = 0L
+    nNewEdges += timed("inc_verify", nCands) {
       newEdges = VerifyStage(verifyToks, cands, cfg).localCheckpoint()
       newEdges.count()
     }
@@ -411,7 +448,7 @@ object IncrementalDedup {
         })
       }
       var audioCk: Dataset[Edge] = null
-      timed("inc_audio", nNew, Map("capped_audio_buckets" -> audioCapped.value.toString)) {
+      nNewEdges += timed("inc_audio", nNew, Map("capped_audio_buckets" -> audioCapped.value.toString)) {
         audioCk = audioE.localCheckpoint()
         audioCk.count()
       }
@@ -437,8 +474,10 @@ object IncrementalDedup {
     val vertexUniverse = newIds.union(touchedLabels).distinct()
     var sub: Dataset[ClusterRow] = null
     timed("inc_cluster", nNew) {
+      // contracted has exactly newEdges' cardinality (the label attach is a
+      // per-key-unique left join), so CC skips its own edge-count job
       sub = ConnectedComponents(contracted, vertexUniverse.toDF(),
-        cfg.ccMaxIterations, cfg.ccLocalEdgeCap).localCheckpoint()
+        cfg.ccMaxIterations, cfg.ccLocalEdgeCap, knownEdgeCount = nNewEdges).localCheckpoint()
       sub.count()
     }
 

@@ -9,8 +9,9 @@ import graft.dedup.{DedupConfig, DedupPipeline}
 object StageProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 480000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = DedupPipeline.sessionDefaults(
-      SparkSession.builder().master("local[8]").appName("stage-probe"), 8).getOrCreate()
+      SparkSession.builder().master(s"local[$cpus]").appName("stage-probe"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val stats = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -29,7 +30,7 @@ object StageProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     clips.count()
     val t0 = System.nanoTime()
-    DedupPipeline.run(clips, DedupConfig(strategy = "shuffle", shufflePartitions = 64)).clusters.count()
+    DedupPipeline.run(clips, DedupConfig(strategy = "shuffle", shufflePartitions = cpus)).clusters.count()
     println(f"TOTAL ${(System.nanoTime()-t0)/1e9}%.1f s")
     spark.stop()
   }
