@@ -425,8 +425,11 @@ object CandidateStage {
   def tinyChannelJoin(
       toks: Dataset[TokRow],
       cfg: DedupConfig,
-      cappedBuckets: LongAccumulator): Dataset[CandPair] =
-    tinyJoinCore(toks, toks, cfg, cappedBuckets, selfDedup = true)
+      cappedBuckets: LongAccumulator): Dataset[CandPair] = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    tinyJoinCore(toks, toks, cfg, cappedBuckets, selfDedup = true).select("p", "c").as[CandPair]
+  }
 
   /** Shared core of the tiny-pattern equi-join: `selfDedup` excludes
     * same-id pairs and orients (shorter = pattern); the cross-table form
@@ -439,7 +442,8 @@ object CandidateStage {
       corpusSide: Dataset[TokRow],
       cfg: DedupConfig,
       cappedBuckets: LongAccumulator,
-      selfDedup: Boolean): Dataset[CandPair] = {
+      selfDedup: Boolean,
+      withLens: Boolean = false): DataFrame = {
     val spark = tinySide.sparkSession
     import spark.implicits._
     val k = cfg.shingleK
@@ -488,9 +492,10 @@ object CandidateStage {
           .otherwise($"b_id").as("p"),
         when($"a_n" < $"b_n" || ($"a_n" === $"b_n" && $"a_id" <= $"b_id"), $"b_id")
           .otherwise($"a_id").as("c"))
-        .as[CandPair]
+    else if (withLens)
+      joined.select($"a_id".as("p"), $"b_id".as("c"), $"a_n".as("p_n"), $"b_n".as("c_n"))
     else
-      joined.select($"a_id".as("p"), $"b_id".as("c")).as[CandPair]
+      joined.select($"a_id".as("p"), $"b_id".as("c"))
   }
 
   /** Orient a pair (pattern = shorter side). */
@@ -551,14 +556,31 @@ object CandidateStage {
       cHot: Option[Array[Long]] = None): Dataset[CandPair] = {
     val spark = qEntries.sparkSession
     import spark.implicits._
+    crossBucketJoinPairsLens(qEntries, cEntries, cap, cappedBuckets, qHot, cHot)
+      .select($"p", $"c").as[CandPair]
+  }
+
+  /** [[crossBucketJoinPairs]] RETAINING both sides' token counts
+    * (p, c, p_n, c_n) — lets a caller orient pairs without re-joining a
+    * length table (r6: the incremental path's oriented step previously
+    * joined a (clip_id, n) union of the full old+new token tables twice,
+    * two extra old-corpus scans and exchanges per increment). */
+  def crossBucketJoinPairsLens(
+      qEntries: Dataset[QueryEntry],
+      cEntries: Dataset[BucketEntry],
+      cap: Int,
+      cappedBuckets: LongAccumulator,
+      qHot: Option[Array[Long]] = None,
+      cHot: Option[Array[Long]] = None): DataFrame = {
+    val spark = qEntries.sparkSession
+    import spark.implicits._
 
     val q = dropHotBuckets(qEntries.toDF(), cap, cappedBuckets, None, precomputedHot = qHot)
-      .select($"sh", $"id".as("q_id"), $"mn".as("q_mn"), $"mx".as("q_mx"))
+      .select($"sh", $"id".as("q_id"), $"n".as("q_n"), $"mn".as("q_mn"), $"mx".as("q_mx"))
     val c = dropHotBuckets(cEntries.toDF(), cap, cappedBuckets, None, precomputedHot = cHot)
       .select($"sh".as("c_sh"), $"id".as("c_id"), $"n".as("c_n"))
     q.join(c, $"sh" === $"c_sh" && $"c_n" >= $"q_mn" && $"c_n" <= $"q_mx")
-      .select($"q_id".as("p"), $"c_id".as("c"))
-      .as[CandPair]
+      .select($"q_id".as("p"), $"c_id".as("c"), $"q_n".as("p_n"), $"c_n")
   }
 
   /** Cross-table channel A: exact shingle join (queries with ≥ k tokens —
@@ -595,6 +617,17 @@ object CandidateStage {
     crossBucketJoinPairs(crossNgramQEntries(qToks, cfg), crossNgramCEntries(cToks, cfg),
       cfg.shingleDfCap, cappedBuckets, qHot, cHot)
 
+  /** [[crossNgramChannel]] with both sides' token counts retained. */
+  private[dedup] def crossNgramChannelLens(
+      qToks: Dataset[TokRow],
+      cToks: Dataset[TokRow],
+      cfg: DedupConfig,
+      cappedBuckets: LongAccumulator,
+      qHot: Option[Array[Long]] = None,
+      cHot: Option[Array[Long]] = None): DataFrame =
+    crossBucketJoinPairsLens(crossNgramQEntries(qToks, cfg), crossNgramCEntries(cToks, cfg),
+      cfg.shingleDfCap, cappedBuckets, qHot, cHot)
+
   /** Cross-table channel B: MinHash band buckets (the probabilistic
     * recovery path for pairs whose shared shingles are all hot). */
   private[dedup] def crossBandQEntries(qSigs: Dataset[SigRow], cfg: DedupConfig): Dataset[QueryEntry] = {
@@ -622,6 +655,17 @@ object CandidateStage {
       qHot: Option[Array[Long]] = None,
       cHot: Option[Array[Long]] = None): Dataset[CandPair] =
     crossBucketJoinPairs(crossBandQEntries(qSigs, cfg), crossBandCEntries(cSigs, cfg),
+      cfg.bandDfCap, cappedBuckets, qHot, cHot)
+
+  /** [[crossMinhashChannel]] with both sides' token counts retained. */
+  private[dedup] def crossMinhashChannelLens(
+      qSigs: Dataset[SigRow],
+      cSigs: Dataset[SigRow],
+      cfg: DedupConfig,
+      cappedBuckets: LongAccumulator,
+      qHot: Option[Array[Long]] = None,
+      cHot: Option[Array[Long]] = None): DataFrame =
+    crossBucketJoinPairsLens(crossBandQEntries(qSigs, cfg), crossBandCEntries(cSigs, cfg),
       cfg.bandDfCap, cappedBuckets, qHot, cHot)
 
   /** Cross-table CONTAINMENT gram channel — the candidate generator for
@@ -663,12 +707,18 @@ object CandidateStage {
       .filter(_.n_tokens >= g)
       .flatMap(t => Hashing.distinctShingles(t.ids, g).iterator
         .map(h => BucketEntry(h, t.clip_id, t.n_tokens, 0)))
+    // both side valves share one batched stats job (r6) for fixed caps
+    val hots =
+      if (cap > 0) batchedHotStats(Seq(
+        (qEntries.toDF(), cap, cappedBuckets, None),
+        (cEntries.toDF(), cap, cappedBuckets, None)))
+      else Seq(None, None)
     // deduplicated like CandidateStage.cross: a pair sharing m grams must
     // reach the verify group ONCE — duplicate group members would consume
     // the J4 kernel's numberOfMatches scan budget and change which
     // candidates get verified (observed: self-matches lost behind
     // double-counted siblings)
-    crossBucketJoinPairs(qEntries, cEntries, cap, cappedBuckets)
+    crossBucketJoinPairs(qEntries, cEntries, cap, cappedBuckets, hots(0), hots(1))
       .dropDuplicates("p", "c")
       .as[CandPair]
   }
@@ -684,33 +734,50 @@ object CandidateStage {
       cappedBuckets: LongAccumulator): Dataset[CandPair] = {
     val spark = qToks.sparkSession
     import spark.implicits._
+    crossTinyChannelLens(qToks, cToks, cfg, cappedBuckets)
+      .select("p", "c").as[CandPair]
+  }
+
+  /** [[crossTinyChannel]] with both sides' token counts retained
+    * (p, c, p_n, c_n) — see [[crossBucketJoinPairsLens]]. */
+  private[dedup] def crossTinyChannelLens(
+      qToks: Dataset[TokRow],
+      cToks: Dataset[TokRow],
+      cfg: DedupConfig,
+      cappedBuckets: LongAccumulator): DataFrame = {
+    val spark = qToks.sparkSession
+    import spark.implicits._
     val k = cfg.shingleK
     val fuzzy = cfg.threshold
     val ec = cfg.editCosts
 
+    def empty = spark.emptyDataset[(String, String, Int, Int)]
+      .toDF("p", "c", "p_n", "c_n")
+
     // count-first — see tinyChannel (one job for the common no-tiny case)
     val tinyRows = qToks.filter(_.n_tokens < k)
     val nTiny = tinyRows.count()
-    if (nTiny == 0) return spark.emptyDataset[CandPair]
+    if (nTiny == 0) return empty
     if (nTiny > cfg.tinyPatternBroadcastCap)
-      return tinyJoinCore(qToks, cToks, cfg, cappedBuckets, selfDedup = false)
+      return tinyJoinCore(qToks, cToks, cfg, cappedBuckets, selfDedup = false,
+        withLens = true)
     val tiny: Array[(String, Array[Long], Int)] =
       tinyRows.map(t => (t.clip_id, t.ids, t.n_tokens)).collect()
     val bc = spark.sparkContext.broadcast(tiny)
 
     cToks.flatMap { row =>
-      val out = new scala.collection.mutable.ArrayBuffer[CandPair]
+      val out = new scala.collection.mutable.ArrayBuffer[(String, String, Int, Int)]
       val tinies = bc.value
       var t = 0
       while (t < tinies.length) {
         val (tid, tids, tn) = tinies(t)
         if (!SuffixIndex.theoreticalRejection(tn, row.n_tokens, ec, fuzzy) &&
             containsSubsequence(row.ids, tids))
-          out += CandPair(tid, row.clip_id)
+          out += ((tid, row.clip_id, tn, row.n_tokens))
         t += 1
       }
       out.iterator
-    }
+    }.toDF("p", "c", "p_n", "c_n")
   }
 
   /** Union of cross-table channels (queries vs corpus), deduplicated. With

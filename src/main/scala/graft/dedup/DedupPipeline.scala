@@ -64,24 +64,19 @@ object DedupPipeline {
 
   private def stagePath(dir: String, name: String) = s"$dir/$name"
 
-  /** Estimated in-memory bytes of the tokenized corpus: sampled average row
-    * footprint × row count (JVM-ish accounting: object headers + char/long
-    * payloads). Drives the byte-based broadcast gate. */
-  def estimateTokBytes(toks: Dataset[TokRow], nToks: Long): Long = {
-    val sample = toks.take(1024)
-    if (sample.isEmpty) 0L
-    else {
-      var sum = 0L
-      sample.foreach { t =>
-        var b = 64L + 2L * t.clip_id.length + 8L * t.ids.length
-        var i = 0
-        while (i < t.reals.length) { b += 40L + 2L * t.reals(i).length; i += 1 }
-        i = 0
-        while (i < t.itoks.length) { b += 40L + 2L * t.itoks(i).length; i += 1 }
-        sum += b
-      }
-      ((sum.toDouble / sample.length) * nToks).toLong
-    }
+  /** Row count + estimated in-memory bytes of the tokenized corpus in ONE
+    * exact aggregation job (JVM-ish accounting per row: object headers +
+    * char/long payloads). Replaces the count() + take(1024)-sample pair
+    * (two actions, and an extrapolated estimate) that every broadcast-gate
+    * check previously paid (r6). Drives the byte-based broadcast gate. */
+  def tokStats(toks: Dataset[TokRow]): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val perRow = lit(64L) + length(col("clip_id")).cast("long") * 2L +
+      size(col("ids")).cast("long") * 8L +
+      expr("aggregate(reals, 0L, (a, x) -> a + 40L + 2L * length(x))") +
+      expr("aggregate(itoks, 0L, (a, x) -> a + 40L + 2L * length(x))")
+    val r = toks.toDF().agg(count(lit(1)), coalesce(sum(perRow), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   private def exists(spark: SparkSession, path: String): Boolean =
@@ -140,14 +135,23 @@ object DedupPipeline {
     }
     val toks = checkpointed("tokens", toksStage)(_.as[TokRow])
       .persist()
-    val nToks = timed("tokenize", nClips)(toks.count())
+    // forced strategies need only the row count; "auto" gets rows AND exact
+    // estimated bytes from the same single aggregation job
+    var estBytes = -1L
+    val nToks = timed("tokenize", nClips) {
+      if (cfg.strategy == "broadcast" || cfg.strategy == "shuffle") toks.count()
+      else {
+        val (n, b) = tokStats(toks)
+        estBytes = b
+        n
+      }
+    }
 
     val useBroadcast = cfg.strategy match {
       case "broadcast" => true
       case "shuffle" => false
       case _ =>
-        nToks <= cfg.broadcastMaxRows &&
-          estimateTokBytes(toks, nToks) <= cfg.broadcastMaxBytes
+        nToks <= cfg.broadcastMaxRows && estBytes <= cfg.broadcastMaxBytes
     }
 
     var edgesV: Dataset[Edge] = null

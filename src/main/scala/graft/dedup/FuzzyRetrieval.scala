@@ -60,11 +60,11 @@ object FuzzyRetrieval {
     val callerCached = corpusToks.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val toks = if (callerCached) corpusToks else corpusToks.persist()
     try {
-      val n = toks.count()
+      // rows + exact estimated bytes in ONE job (r6 — was count + sample)
+      val (n, estBytes) = DedupPipeline.tokStats(toks)
       require(n <= cfg.broadcastMaxRows,
         s"corpus has $n indexable rows > broadcastMaxRows ${cfg.broadcastMaxRows}: " +
           "use FuzzyRetrieval.topkShuffle (the beyond-memory path)")
-      val estBytes = DedupPipeline.estimateTokBytes(toks, n)
       require(estBytes <= cfg.broadcastMaxBytes,
         s"corpus estimated at $estBytes tokenized bytes > broadcastMaxBytes " +
           s"${cfg.broadcastMaxBytes}: use FuzzyRetrieval.topkShuffle (the beyond-memory path)")

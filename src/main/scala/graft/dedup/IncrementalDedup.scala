@@ -284,21 +284,30 @@ object IncrementalDedup {
     }
 
     // frontier = old rows that can possibly pair with the batch through the
-    // keyed channels; past the key bound the frontier is the whole old side
-    val frontierToks = shKeys match {
+    // keyed channels; past the key bound the frontier is the whole old side.
+    // PERSISTED (r6): the batched hot-key stats job and the channel's main
+    // exchange each read the frontier — uncached, each read re-ran the full
+    // old-side scan WITH the anyShingleIn sweep (the r5-measured dominant
+    // candidate cost); the cache is frontier-sized (batch-incident old rows
+    // only) and released after the candidate set materializes.
+    val frontierToks = (shKeys match {
       case Some(keys) =>
         val bc = sc.broadcast(keys)
         oldToks.filter(t => t.n_tokens >= k && Hashing.anyShingleIn(t.ids, k, bc.value))
       case None => oldToks
-    }
+    }).persist()
     lazy val oldSigs = accumulatedSigs(spark, priorDirs, cfg)
-    lazy val frontierSigs = bandKeys match {
-      case Some(keys) =>
-        val bc = sc.broadcast(keys)
-        oldSigs.filter(_.band_hashes.iterator.zipWithIndex.exists { case (h, bd) =>
-          java.util.Arrays.binarySearch(bc.value, Hashing.mix64(h ^ (bd * 0x9e3779b97f4a7c15L))) >= 0
-        })
-      case None => oldSigs
+    var frontierSigsForced = false
+    lazy val frontierSigs = {
+      frontierSigsForced = true
+      (bandKeys match {
+        case Some(keys) =>
+          val bc = sc.broadcast(keys)
+          oldSigs.filter(_.band_hashes.iterator.zipWithIndex.exists { case (h, bd) =>
+            java.util.Arrays.binarySearch(bc.value, Hashing.mix64(h ^ (bd * 0x9e3779b97f4a7c15L))) >= 0
+          })
+        case None => oldSigs
+      }).persist()
     }
 
     // ---- stage 2a: new-incident candidates ----
@@ -315,7 +324,13 @@ object IncrementalDedup {
     // a tiny host shares no k-shingle or band with its containee). With
     // fixed caps all four side valves share ONE batched hot-key stats job
     // (r6 — was four eager stats actions per increment).
-    var crossCands = spark.emptyDataset[CandPair]
+    // every cross channel retains BOTH sides' token counts in its join
+    // output (the Lens variants, r6), so orientation below is a pure
+    // projection — the previous formulation re-joined a (clip_id, n) union
+    // of the full old+new token tables twice per increment just to recover
+    // lengths the channels had already seen
+    var crossLens = spark.emptyDataset[(String, String, Int, Int)]
+      .toDF("p", "c", "p_n", "c_n")
     val crossBatchable = cfg.useNgramChannel && cfg.useMinhashChannel &&
       cfg.shingleDfCap > 0 && cfg.bandDfCap > 0
     if (crossBatchable) {
@@ -328,32 +343,27 @@ object IncrementalDedup {
           cappedBandBuckets, None),
         (CandidateStage.crossBandCEntries(frontierSigs, cfg).toDF(), cfg.bandDfCap,
           cappedBandBuckets, None))))
-      crossCands = crossCands
-        .union(CandidateStage.crossNgramChannel(newToks, frontierToks, cfg,
+      crossLens = crossLens
+        .union(CandidateStage.crossNgramChannelLens(newToks, frontierToks, cfg,
           cappedShingleBuckets, hots(0), hots(1)))
-        .union(CandidateStage.crossMinhashChannel(newSigs, frontierSigs, cfg,
+        .union(CandidateStage.crossMinhashChannelLens(newSigs, frontierSigs, cfg,
           cappedBandBuckets, hots(2), hots(3)))
     } else {
       if (cfg.useNgramChannel)
-        crossCands = crossCands.union(
-          CandidateStage.crossNgramChannel(newToks, frontierToks, cfg, cappedShingleBuckets))
+        crossLens = crossLens.union(
+          CandidateStage.crossNgramChannelLens(newToks, frontierToks, cfg, cappedShingleBuckets))
       if (cfg.useMinhashChannel)
-        crossCands = crossCands.union(
-          CandidateStage.crossMinhashChannel(newSigs, frontierSigs, cfg, cappedBandBuckets))
+        crossLens = crossLens.union(
+          CandidateStage.crossMinhashChannelLens(newSigs, frontierSigs, cfg, cappedBandBuckets))
     }
-    crossCands = crossCands
-      .union(CandidateStage.crossTinyChannel(newToks, oldToks, cfg, cappedTinyGramBuckets))
-      .union(CandidateStage.crossTinyChannel(oldToks, newToks, cfg, cappedTinyGramBuckets))
+    crossLens = crossLens
+      .union(CandidateStage.crossTinyChannelLens(newToks, oldToks, cfg, cappedTinyGramBuckets))
+      .union(CandidateStage.crossTinyChannelLens(oldToks, newToks, cfg, cappedTinyGramBuckets))
 
     // orient cross pairs like the self-join channels (pattern = shorter side
     // — the laxer min-subsequence requirement; the symmetric-cost dup
     // decision is direction-free only under this orientation), then dedup
-    val nTok = newToks.select($"clip_id", $"n_tokens")
-    val oTok = oldToks.select($"clip_id", $"n_tokens")
-    val lens = nTok.union(oTok)
-    val oriented = crossCands.toDF()
-      .join(lens.toDF("p", "p_n"), "p")
-      .join(lens.toDF("c", "c_n"), "c")
+    val oriented = crossLens
       .select(
         when($"p_n" < $"c_n" || ($"p_n" === $"c_n" && $"p" <= $"c"), $"p").otherwise($"c").as("p"),
         when($"p_n" < $"c_n" || ($"p_n" === $"c_n" && $"p" <= $"c"), $"c").otherwise($"p").as("c"))
@@ -365,7 +375,12 @@ object IncrementalDedup {
       "capped_band_buckets" -> cappedBandBuckets.value.toString,
       "capped_tiny_gram_buckets" -> cappedTinyGramBuckets.value.toString)) {
       cands = selfCands.union(oriented).dropDuplicates("p", "c").as[CandPair].localCheckpoint()
-      cands.count()
+      val n = cands.count()
+      // the checkpointed candidate set is the only consumer — release the
+      // frontier caches rather than pinning one copy per increment
+      frontierToks.unpersist()
+      if (frontierSigsForced) frontierSigs.unpersist()
+      n
     }
 
     // ---- stage 2b: verify — only the token rows the pairs touch shuffle ----

@@ -128,12 +128,12 @@ object StreamingDedup {
     // (SignatureStage, the batch stage-1 kernel); only the collected results
     // land on the driver, where the band inverted index is assembled
     val corpusToks = TokenizeStage(corpus, cfg).persist()
-    val n = corpusToks.count()
+    // rows + exact estimated bytes in ONE job (r6 — was count + sample)
+    val (n, estBytes) = graft.dedup.DedupPipeline.tokStats(corpusToks)
     require(n <= cfg.broadcastMaxRows,
       s"corpus has $n indexable rows > broadcastMaxRows ${cfg.broadcastMaxRows}: " +
         "stream-static edge verification needs a broadcastable corpus — " +
         "run the batch FuzzyRetrieval.topkShuffle path instead")
-    val estBytes = graft.dedup.DedupPipeline.estimateTokBytes(corpusToks, n)
     require(estBytes <= cfg.broadcastMaxBytes,
       s"corpus estimated at $estBytes tokenized bytes > broadcastMaxBytes " +
         s"${cfg.broadcastMaxBytes}: stream-static edge verification needs a " +
