@@ -833,7 +833,13 @@ object FuzzyRetrieval {
     * metas (count-based) read as names = toks, toks_1 … toks_{segments-1},
     * next = segments — the exact pre-compaction layout. */
   final case class IndexMeta(version: Int, pt: Int, maxTokensInPattern: Int, segments: Int,
-      names: Seq[String], next: Int)
+      names: Seq[String], next: Int, retired: Seq[(String, Long)] = Nil)
+
+  /** How long a compaction keeps superseded segment tables on disk before a
+    * later compaction may purge them — the window in which a reader that
+    * [[loadIndex]]ed the OLD meta (a lazy union plan) can still run its
+    * action against the old segment files. */
+  val defaultRetireGraceMs: Long = 30L * 60 * 1000
 
   private def metaPathOf(dir: String) = new org.apache.hadoop.fs.Path(dir, "index_meta.json")
 
@@ -843,13 +849,15 @@ object FuzzyRetrieval {
     * local/HDFS; the delete→rename window can only make a concurrent reader
     * fail LOUDLY on a missing meta — writers hold the index write lock). */
   private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession, dir: String,
-      cfg: DedupConfig, names: Seq[String], next: Int): Unit = {
+      cfg: DedupConfig, names: Seq[String], next: Int,
+      retired: Seq[(String, Long)] = Nil): Unit = {
     val p = metaPathOf(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(dir, "index_meta.json.tmp")
     val meta = s"""{"version":$indexMetaVersion,"pt":${cfg.pt},""" +
       s""""maxTokensInPattern":${cfg.maxTokensInPattern},"segments":${names.size},""" +
-      s""""names":[${names.map(n => "\"" + n + "\"").mkString(",")}],"next":$next}"""
+      s""""names":[${names.map(n => "\"" + n + "\"").mkString(",")}],"next":$next,""" +
+      s""""retired":[${retired.map { case (n, t) => "\"" + n + "@" + t + "\"" }.mkString(",")}]}"""
     val out = fs.create(tmp, true)
     try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -881,8 +889,13 @@ object FuzzyRetrieval {
       case Some(m) => """"([^"]+)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
       case None => (0 until segments).map(segmentName) // version-1 layout
     }
+    val retired = """"retired":\[([^\]]*)\]""".r.findFirstMatchIn(meta) match {
+      case Some(m) => """"([^"@]+)@(\d+)"""".r.findAllMatchIn(m.group(1))
+        .map(g => (g.group(1), g.group(2).toLong)).toSeq
+      case None => Nil // pre-r6 layout: nothing retired
+    }
     IndexMeta(field("version"), field("pt"), field("maxTokensInPattern"),
-      names.size, names, field("next", default = segments))
+      names.size, names, field("next", default = segments), retired)
   }
 
   private def requireConfigMatch(m: IndexMeta, cfg: DedupConfig, dir: String, what: String): Unit = {
@@ -973,26 +986,38 @@ object FuzzyRetrieval {
     * table to a FRESH ordinal (never reused, so a crashed compaction's
     * half-written dir can never be mistaken for live data), (2) commit the
     * meta naming ONLY the merged segment (atomic rename — the commit
-    * point), (3) best-effort delete the superseded segment dirs (a crash
-    * here leaves ignored orphans, cleaned by the next compaction, which
-    * deletes every unreferenced `toks*` dir — safe because the write lock
-    * excludes in-flight appends). Readers racing a compaction see either
-    * the old meta (old segments still present — deletes happen after
-    * commit) or the new one. Returns true when a merge happened. */
+    * point), (3) RETIRE the superseded segment dirs in the meta instead of
+    * deleting them (r6, the r5 advice race): [[loadIndex]] returns a LAZY
+    * union, so a match job that loaded the index before this compaction
+    * committed must still find the old segment files when its action runs.
+    * Retired segments older than `graceMs` are purged at the start of a
+    * LATER compaction call (a no-op compaction acts as an explicit
+    * vacuum); unreferenced-and-unretired `toks*` dirs (crashed writers)
+    * are swept as before. Readers therefore see either the old meta with
+    * its segments intact for at least the grace window, or the new one.
+    * Returns true when a merge happened. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, cfg: DedupConfig,
-      dir: String): Boolean = {
+      dir: String, graceMs: Long = defaultRetireGraceMs): Boolean = {
     withIndexWriteLock(spark, dir) {
       val m = readIndexMeta(spark, dir)
       requireConfigMatch(m, cfg, dir, "compact")
       val fs = metaPathOf(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val now = System.currentTimeMillis()
+      // purge retired segments past their grace; sweep crashed-writer
+      // orphans (dirs neither referenced nor retired)
+      val (expired, kept) = m.retired.partition(now - _._2 >= graceMs)
+      expired.foreach { case (n, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, n), true)
+      }
       def sweep(keep: Set[String]): Unit =
         fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
           .map(_.getPath)
           .filter(p => p.getName.matches("toks(_\\d+)?") && !keep.contains(p.getName))
           .foreach(p => fs.delete(p, true))
       if (m.names.size <= 1) {
-        // nothing to merge; still sweep orphans from earlier crashes
-        sweep(keep = m.names.toSet)
+        sweep(keep = m.names.toSet ++ kept.map(_._1))
+        if (expired.nonEmpty) // record the purge
+          writeIndexMeta(spark, dir, cfg, names = m.names, next = m.next, retired = kept)
         false
       } else {
         val merged = segmentName(m.next)
@@ -1003,8 +1028,9 @@ object FuzzyRetrieval {
           graft.data.TableIO.read(spark, s"$dir/$n")
         }
         graft.data.TableIO.write(parts.reduce(_.union(_)), s"$dir/$merged")
-        writeIndexMeta(spark, dir, cfg, names = Seq(merged), next = m.next + 1)
-        sweep(keep = Set(merged))
+        writeIndexMeta(spark, dir, cfg, names = Seq(merged), next = m.next + 1,
+          retired = kept ++ m.names.map(n => (n, now)))
+        sweep(keep = Set(merged) ++ kept.map(_._1) ++ m.names)
         true
       }
     }

@@ -149,22 +149,35 @@ class RetrievalIndexSpec extends AnyFunSuite {
       .toDF().write.parquet(s"$tmp/toks_3")
     assert(results() == before, "uncommitted merged segment leaked into match results")
 
+    // a reader holding the PRE-compaction index (lazy union plan) must
+    // survive a compaction that commits underneath it (r6: superseded
+    // segments are retired for a grace window, not deleted at commit)
+    val preCompactionIndex = FuzzyRetrieval.loadIndex(spark, tmp, cfg)
     assert(FuzzyRetrieval.compactIndex(spark, cfg, tmp))
     val m = FuzzyRetrieval.readIndexMeta(spark, tmp)
     assert(m.segments == 1, s"compaction left ${m.segments} segments")
+    assert(m.retired.map(_._1).toSet == Set("toks", "toks_1", "toks_2"),
+      s"superseded segments not retired: ${m.retired}")
     assert(results() == before, "compaction changed match results")
-    // crash window 2 equivalent: superseded segment dirs were swept (only
-    // the merged segment remains on disk)
+    assert(rows(FuzzyRetrieval.topkIndexed(queries, preCompactionIndex, cfg, 5)) == before,
+      "pre-compaction reader broke after the compaction commit")
+    // superseded dirs still on disk during the grace window
     val segDirs = new java.io.File(tmp).listFiles().map(_.getName)
       .filter(_.matches("toks(_\\d+)?")).toSet
-    assert(segDirs == m.names.toSet, s"superseded segments not swept: $segDirs vs ${m.names}")
+    assert(segDirs == m.names.toSet ++ m.retired.map(_._1),
+      s"retired segments deleted early: $segDirs")
 
     // compaction of a single-segment index is a no-op that still sweeps
-    // orphans from earlier crashes
+    // orphans from earlier crashes AND (grace 0) purges retired segments —
+    // the explicit-vacuum form
     Seq(Clip("98", Array.emptyByteArray, 16000, 0, "pcm_s16le", "yy yy")).toDS()
       .toDF().write.parquet(s"$tmp/toks_99")
-    assert(!FuzzyRetrieval.compactIndex(spark, cfg, tmp))
+    assert(!FuzzyRetrieval.compactIndex(spark, cfg, tmp, graceMs = 0))
     assert(!new java.io.File(s"$tmp/toks_99").exists(), "no-op compaction left the orphan")
+    val afterVacuum = new java.io.File(tmp).listFiles().map(_.getName)
+      .filter(_.matches("toks(_\\d+)?")).toSet
+    assert(afterVacuum == m.names.toSet, s"vacuum left retired segments: $afterVacuum")
+    assert(FuzzyRetrieval.readIndexMeta(spark, tmp).retired.isEmpty)
     assert(results() == before)
 
     // appends keep working after compaction (fresh ordinal, never reused)
