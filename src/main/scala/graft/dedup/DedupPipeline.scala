@@ -55,9 +55,19 @@ object DedupPipeline {
       // ~10× in-memory blowup over their shuffle bytes, and AQE sizes
       // coalescing on OUTPUT bytes — a 64 MB advisory can hand one task an
       // object graph far beyond its heap share on a real executor. 16 MB
-      // keeps object-heavy tasks bounded; parallelismFirst (default) still
-      // floors the partition count at the available cores.
+      // keeps object-heavy tasks bounded.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      // r6 (guide §2.2): size post-shuffle partitions by BYTES, not by the
+      // core count. parallelismFirst=true (the default) floors every
+      // coalesce at defaultParallelism, so a job over a small table fires a
+      // wave of near-empty tasks per shuffle stage regardless of data; with
+      // byte-based coalescing the partition count follows the advisory
+      // size. Scale-neutral by construction: whenever post-shuffle
+      // partitions already exceed the advisory size (any large input) no
+      // coalescing happens either way — the flag only governs inputs small
+      // relative to the configured parallelism, exactly where the fixed
+      // floor was pure overhead.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

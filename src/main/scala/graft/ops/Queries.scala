@@ -227,7 +227,20 @@ object Queries {
         "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', slice(tk, i + 1, 3)))")))
         .as("sh_str"))
       .select(col("doc_id"), xxhash64(col("lang"), col("sh_str")).as("sh"))
-    val parted = d.repartition(col("sh")).persist()
+    // partition count derived from INPUT SIZE (~32 MB of 16-byte entry rows
+    // per partition; entries ≈ one per token, ≈ 8× the parquet bytes), not
+    // the session shuffle default: the cached entry set is read by the hot
+    // stats agg, the anti-join and both self-join sides, and a fixed
+    // cores-sized partition count charges every read a wave of near-empty
+    // tasks on a small corpus while under-splitting a 100 TB one (guide §2:
+    // derive partitioning from input size, not a constant).
+    val docBytes = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      scala.util.Try(fs.getContentSummary(p).getLength).getOrElse(0L)
+    }
+    val parts = math.max(1L, math.min(docBytes * 8 / (32L << 20) + 1, 1 << 20)).toInt
+    val parted = d.repartition(parts, col("sh")).persist()
     // ONE eager stats job off the cached exchange — the first action, so it
     // pays tokenize+explode+shuffle once and populates the cache every
     // later read serves from. It returns the hot KEYS, so the drop is
