@@ -317,7 +317,7 @@ object CandidateStage {
   }
 
   /** Channel A's inverted-index entries (shared with [[batchedHotStats]]). */
-  private def ngramEntries(toks: Dataset[TokRow], cfg: DedupConfig): Dataset[BucketEntry] = {
+  private[dedup] def ngramEntries(toks: Dataset[TokRow], cfg: DedupConfig): Dataset[BucketEntry] = {
     val spark = toks.sparkSession
     import spark.implicits._
     val k = cfg.shingleK
@@ -329,7 +329,7 @@ object CandidateStage {
   }
 
   /** Channel B's band-bucket entries (shared with [[batchedHotStats]]). */
-  private def bandEntries(sigs: Dataset[SigRow], cfg: DedupConfig): Dataset[BucketEntry] = {
+  private[dedup] def bandEntries(sigs: Dataset[SigRow], cfg: DedupConfig): Dataset[BucketEntry] = {
     val spark = sigs.sparkSession
     import spark.implicits._
     val mx = maxAcceptTable(cfg.editCosts, cfg.threshold, cfg.maxTokensInPattern)
@@ -832,7 +832,10 @@ object CandidateStage {
 
   /** Union of enabled channels, deduplicated. When both keyed channels run
     * with fixed caps, their hot-key stats are computed in ONE batched job
-    * ([[batchedHotStats]]) instead of one eager action per channel. */
+    * ([[batchedHotStats]]) instead of one eager action per channel.
+    * `precomputedHots`: (ngram, band) hot keys a caller has already
+    * computed in its own (larger) batched stats job — the incremental path
+    * folds these two specs into its six-set job. */
   def apply(
       toks: Dataset[TokRow],
       sigs: => Dataset[SigRow],
@@ -840,17 +843,21 @@ object CandidateStage {
       cappedShingleBuckets: LongAccumulator,
       cappedShinglePairs: LongAccumulator,
       cappedBandBuckets: LongAccumulator,
-      cappedTinyGramBuckets: LongAccumulator): Dataset[CandPair] = {
+      cappedTinyGramBuckets: LongAccumulator,
+      precomputedHots: Option[(Option[Array[Long]], Option[Array[Long]])] = None): Dataset[CandPair] = {
     val spark = toks.sparkSession
     import spark.implicits._
     var cands = spark.emptyDataset[CandPair]
     val batchable = cfg.useNgramChannel && cfg.useMinhashChannel &&
       cfg.shingleDfCap > 0 && cfg.bandDfCap > 0
     if (batchable) {
-      val hots = batchedHotStats(Seq(
-        (ngramEntries(toks, cfg).toDF(), cfg.shingleDfCap,
-          cappedShingleBuckets, Some(cappedShinglePairs)),
-        (bandEntries(sigs, cfg).toDF(), cfg.bandDfCap, cappedBandBuckets, None)))
+      val hots = precomputedHots match {
+        case Some((ngramHot, bandHot)) => Seq(ngramHot, bandHot)
+        case None => batchedHotStats(Seq(
+          (ngramEntries(toks, cfg).toDF(), cfg.shingleDfCap,
+            cappedShingleBuckets, Some(cappedShinglePairs)),
+          (bandEntries(sigs, cfg).toDF(), cfg.bandDfCap, cappedBandBuckets, None)))
+      }
       cands = cands
         .union(ngramChannel(toks, cfg, cappedShingleBuckets, cappedShinglePairs, hots(0)))
         .union(minhashChannel(sigs, cfg, cappedBandBuckets, hots(1)))

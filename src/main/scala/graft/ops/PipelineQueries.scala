@@ -207,20 +207,6 @@ object PipelineQueries {
     (sims, () => entries.unpersist())
   }
 
-  /** Eager [[annLshPairsLazy]]: the (a_id, b_id, sim) candidate set is
-    * materialized (result-sized) and the entries cache released before
-    * returning — the per-invocation-pin fix (r4 verdict wart #2). */
-  private def annLshPairs(
-      spark: SparkSession,
-      dir: String,
-      bits: Int,
-      bands: Int,
-      bucketCap: Int,
-      cappedBuckets: org.apache.spark.util.LongAccumulator): DataFrame = {
-    val (sims, release) = annLshPairsLazy(spark, dir, bits, bands, bucketCap, cappedBuckets)
-    materializeThenRelease(sims)(release())
-  }
-
   /** Top-k window over a (a_id, b_id, sim) pair set — both directions →
     * top-k neighbors per query. The candidate volume is O(pairs) (at the
     * default 4-bit/24-band parameters most random-embedding pairs collide
@@ -235,9 +221,12 @@ object PipelineQueries {
     import org.apache.spark.sql.expressions.Window
     val spark = sims.sparkSession
     import spark.implicits._
-    val both = sims.select(col("a_id").as("q_id"), col("b_id").as("c_id"), col("sim"))
-      .union(sims.select(col("b_id").as("q_id"), col("a_id").as("c_id"), col("sim")))
-    val reduced = both.as[(Long, Long, Double)].mapPartitions { it =>
+    // BOTH directions are folded into the one-pass reduction below (each
+    // pair row updates two heaps) instead of a self-union — a union would
+    // reference `sims` twice and, with the lazy (un-checkpointed) pair
+    // pipeline now feeding this directly, compute the whole candidate
+    // join + cosine verify twice
+    val reduced = sims.as[(Long, Long, Double)].mapPartitions { it =>
       // per q_id bounded heap, head = WORST kept under (sim desc, c_id asc)
       // (PriorityQueue.head is the ordering's maximum, so the ordering
       // ranks worse entries higher: lower sim, ties broken by larger c_id)
@@ -245,7 +234,7 @@ object PipelineQueries {
         y._2 < x._2 || (y._2 == x._2 && y._1 > x._1)
       }
       val heaps = new java.util.HashMap[Long, scala.collection.mutable.PriorityQueue[(Long, Double)]]()
-      it.foreach { case (q, c, sim) =>
+      def offer(q: Long, c: Long, sim: Double): Unit = {
         var h = heaps.get(q)
         if (h == null) { h = scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord); heaps.put(q, h) }
         if (h.size < k) h.enqueue((c, sim))
@@ -254,6 +243,7 @@ object PipelineQueries {
           if (sim > ws || (sim == ws && c < wc)) { h.dequeue(); h.enqueue((c, sim)) }
         }
       }
+      it.foreach { case (a, b, sim) => offer(a, b, sim); offer(b, a, sim) }
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
       heaps.forEach((q, h) => h.foreach { case (c, s) => out += ((q, c, s)) })
       out.iterator
@@ -290,8 +280,13 @@ object PipelineQueries {
       bucketCap: Int = 4096,
       k: Int = 5): (DataFrame, org.apache.spark.util.LongAccumulator) = {
     val cappedBuckets = spark.sparkContext.longAccumulator("annLshCappedBuckets")
-    val sims = annLshPairs(spark, dir, bits, bands, bucketCap, cappedBuckets)
-    (topkOfSims(sims, k), cappedBuckets)
+    // materialize AFTER the top-k reduction (r6): the checkpoint that
+    // releases the entries cache then holds k rows per query instead of the
+    // full O(pairs) candidate-sim set (~60x fewer rows at the default
+    // parameters), and the window runs fused with the join pipeline in the
+    // same action instead of against a re-read intermediate
+    val (sims, release) = annLshPairsLazy(spark, dir, bits, bands, bucketCap, cappedBuckets)
+    (materializeThenRelease(topkOfSims(sims, k))(release()), cappedBuckets)
   }
 
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = annLsh(spark, dir)._1
@@ -309,9 +304,14 @@ object PipelineQueries {
   def qEmbedDupPairs(spark: SparkSession, dir: String,
       simThreshold: Double = 0.95): DataFrame = {
     val acc = spark.sparkContext.longAccumulator("embedDupCappedBuckets")
-    annLshPairs(spark, dir, bits = 4, bands = 24, bucketCap = 4096, acc)
-      .filter(col("sim") >= simThreshold)
-      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+    // materialize AFTER the threshold filter (r6): the near-dup set is tiny
+    // at the production threshold — checkpointing the full candidate-sim
+    // set first wrote O(pairs) rows to hold a handful
+    val (sims, release) = annLshPairsLazy(spark, dir, bits = 4, bands = 24,
+      bucketCap = 4096, cappedBuckets = acc)
+    materializeThenRelease(
+      sims.filter(col("sim") >= simThreshold)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim")))(release())
   }
 
   /** IVF-flat approximate nearest neighbors — the partition-pruned scale
