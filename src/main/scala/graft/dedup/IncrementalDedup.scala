@@ -232,7 +232,10 @@ object IncrementalDedup {
         "adds NEW rows; re-ingesting an id would leave two assignment rows for it")
 
     // ---- stage 1: tokenize + signatures on the batch (narrow) ----
-    // Every O(new)-sized intermediate is EAGERLY localCheckpoint'ed, not
+    // Every O(new)-sized intermediate is localCheckpoint'ed (LAZILY — the
+    // action that immediately follows each checkpoint materializes it, so
+    // the eager variant's dedicated materialization job would be pure
+    // overhead; r6), not
     // persist'ed: a persist keeps the full logical plan alive, and the
     // increment's plan unions channel trees over the whole lineage chain —
     // with AQE re-optimizing that tree once per query stage per action,
@@ -252,10 +255,10 @@ object IncrementalDedup {
     val batchParts = math.max(1L, math.min(nNew / 4096 + 1, newClips.rdd.getNumPartitions.toLong)).toInt
     var newToks: Dataset[TokRow] = null
     val nNewToks = timed("inc_tokenize", nNew) {
-      newToks = TokenizeStage(newClips, cfg).repartition(batchParts).localCheckpoint()
+      newToks = TokenizeStage(newClips, cfg).repartition(batchParts).localCheckpoint(false)
       newToks.count()
     }
-    val newSigs = phased("signatures")(SignatureStage(newToks, cfg).localCheckpoint())
+    val newSigs = phased("signatures")(SignatureStage(newToks, cfg).localCheckpoint(false))
 
     // ---- bucket-key prefilter: the batch's shingle + band key sets ----
     val k = cfg.shingleK
@@ -374,7 +377,7 @@ object IncrementalDedup {
       "capped_shingle_buckets" -> cappedShingleBuckets.value.toString,
       "capped_band_buckets" -> cappedBandBuckets.value.toString,
       "capped_tiny_gram_buckets" -> cappedTinyGramBuckets.value.toString)) {
-      cands = selfCands.union(oriented).dropDuplicates("p", "c").as[CandPair].localCheckpoint()
+      cands = selfCands.union(oriented).dropDuplicates("p", "c").as[CandPair].localCheckpoint(false)
       val n = cands.count()
       // the checkpointed candidate set is the only consumer — release the
       // frontier caches rather than pinning one copy per increment
@@ -390,7 +393,7 @@ object IncrementalDedup {
     var newEdges: Dataset[Edge] = null
     var nNewEdges = 0L
     nNewEdges += timed("inc_verify", nCands) {
-      newEdges = VerifyStage(verifyToks, cands, cfg).localCheckpoint()
+      newEdges = VerifyStage(verifyToks, cands, cfg).localCheckpoint(false)
       newEdges.count()
     }
 
@@ -413,7 +416,7 @@ object IncrementalDedup {
       var audioE = spark.emptyDataset[Edge]
       val audioCapped = sc.longAccumulator("incAudioCappedBuckets")
       if (cfg.useAudioChannel) {
-        newFps = phased("inc_audio")(AudioDedup.fingerprints(newClips).localCheckpoint())
+        newFps = phased("inc_audio")(AudioDedup.fingerprints(newClips).localCheckpoint(false))
         audioE = audioE.union(AudioDedup.pairs(newFps, cfg.audioMinCorr, cappedBuckets = audioCapped))
         // guard BEFORE collect (distributed size agg) — the guard exists to
         // keep an oversized batch off the driver, so it must not need it there
@@ -436,7 +439,7 @@ object IncrementalDedup {
         })
       }
       if (cfg.useAudioContainment) {
-        newCtFps = phased("inc_audio")(AudioContainment.fingerprints(newClips).localCheckpoint())
+        newCtFps = phased("inc_audio")(AudioContainment.fingerprints(newClips).localCheckpoint(false))
         audioE = audioE.union(
           AudioContainment.pairs(newCtFps, minCorr = cfg.audioContainMinCorr,
               cappedBuckets = audioCapped)
@@ -464,7 +467,7 @@ object IncrementalDedup {
       }
       var audioCk: Dataset[Edge] = null
       nNewEdges += timed("inc_audio", nNew, Map("capped_audio_buckets" -> audioCapped.value.toString)) {
-        audioCk = audioE.localCheckpoint()
+        audioCk = audioE.localCheckpoint(false)
         audioCk.count()
       }
       newEdges = newEdges.union(audioCk)
@@ -475,7 +478,7 @@ object IncrementalDedup {
     // component's min clip_id, so min-id naming survives contraction)
     val endpoints = newEdges.select($"a".as("clip_id")).union(newEdges.select($"b".as("clip_id"))).distinct()
     val touched = phased("touched_labels")(
-      priorClusters.join(endpoints, Seq("clip_id"), "left_semi").localCheckpoint())
+      priorClusters.join(endpoints, Seq("clip_id"), "left_semi").localCheckpoint(false))
     val aMap = touched.toDF("a", "a_label")
     val bMap = touched.toDF("b", "b_label")
     val contracted = newEdges.toDF()
@@ -492,7 +495,7 @@ object IncrementalDedup {
       // contracted has exactly newEdges' cardinality (the label attach is a
       // per-key-unique left join), so CC skips its own edge-count job
       sub = ConnectedComponents(contracted, vertexUniverse.toDF(),
-        cfg.ccMaxIterations, cfg.ccLocalEdgeCap, knownEdgeCount = nNewEdges).localCheckpoint()
+        cfg.ccMaxIterations, cfg.ccLocalEdgeCap, knownEdgeCount = nNewEdges).localCheckpoint(false)
       sub.count()
     }
 
@@ -502,7 +505,7 @@ object IncrementalDedup {
       .join(touchedLabels.toDF("clip_id"), Seq("clip_id"), "left_semi")
       .filter($"cluster_id" =!= $"clip_id")
       .select($"clip_id".as("old_label"), $"cluster_id".as("new_label"))
-    val mergedLabelsCk = phased("merged_labels")(mergedLabels.localCheckpoint()) // tiny: merges only
+    val mergedLabelsCk = phased("merged_labels")(mergedLabels.localCheckpoint(false)) // tiny: merges only
     val newAssignments = sub
       .join(newIds, Seq("clip_id"), "left_semi").as[ClusterRow]
     val updatedOld = priorClusters.toDF()
