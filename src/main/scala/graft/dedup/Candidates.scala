@@ -370,7 +370,8 @@ object CandidateStage {
   def tinyChannel(
       toks: Dataset[TokRow],
       cfg: DedupConfig,
-      cappedBuckets: LongAccumulator): Dataset[CandPair] = {
+      cappedBuckets: LongAccumulator,
+      knownTinyCount: Long = -1L): Dataset[CandPair] = {
     val spark = toks.sparkSession
     import spark.implicits._
     val k = cfg.shingleK
@@ -381,9 +382,10 @@ object CandidateStage {
     // common case — pays up to 4 escalating limit-scan jobs (1, 4, 16, …
     // partitions) before concluding empty; one count() job settles both the
     // emptiness and the broadcast-envelope decision, and the collect runs
-    // only when tiny rows exist and fit
+    // only when tiny rows exist and fit. `knownTinyCount` skips even that
+    // job when the caller already counted this table's tiny rows.
     val tinyRows = toks.filter(_.n_tokens < k)
-    val nTiny = tinyRows.count()
+    val nTiny = if (knownTinyCount >= 0) knownTinyCount else tinyRows.count()
     if (nTiny == 0) return spark.emptyDataset[CandPair]
     if (nTiny > cfg.tinyPatternBroadcastCap)
       return tinyChannelJoin(toks, cfg, cappedBuckets)
@@ -744,7 +746,8 @@ object CandidateStage {
       qToks: Dataset[TokRow],
       cToks: Dataset[TokRow],
       cfg: DedupConfig,
-      cappedBuckets: LongAccumulator): DataFrame = {
+      cappedBuckets: LongAccumulator,
+      knownTinyCount: Long = -1L): DataFrame = {
     val spark = qToks.sparkSession
     import spark.implicits._
     val k = cfg.shingleK
@@ -756,7 +759,7 @@ object CandidateStage {
 
     // count-first — see tinyChannel (one job for the common no-tiny case)
     val tinyRows = qToks.filter(_.n_tokens < k)
-    val nTiny = tinyRows.count()
+    val nTiny = if (knownTinyCount >= 0) knownTinyCount else tinyRows.count()
     if (nTiny == 0) return empty
     if (nTiny > cfg.tinyPatternBroadcastCap)
       return tinyJoinCore(qToks, cToks, cfg, cappedBuckets, selfDedup = false,
@@ -844,7 +847,8 @@ object CandidateStage {
       cappedShinglePairs: LongAccumulator,
       cappedBandBuckets: LongAccumulator,
       cappedTinyGramBuckets: LongAccumulator,
-      precomputedHots: Option[(Option[Array[Long]], Option[Array[Long]])] = None): Dataset[CandPair] = {
+      precomputedHots: Option[(Option[Array[Long]], Option[Array[Long]])] = None,
+      knownTinyCount: Long = -1L): Dataset[CandPair] = {
     val spark = toks.sparkSession
     import spark.implicits._
     var cands = spark.emptyDataset[CandPair]
@@ -867,7 +871,7 @@ object CandidateStage {
       if (cfg.useMinhashChannel)
         cands = cands.union(minhashChannel(sigs, cfg, cappedBandBuckets))
     }
-    cands = cands.union(tinyChannel(toks, cfg, cappedTinyGramBuckets))
+    cands = cands.union(tinyChannel(toks, cfg, cappedTinyGramBuckets, knownTinyCount))
     cands.dropDuplicates("p", "c").as[CandPair]
   }
 }

@@ -313,6 +313,12 @@ object IncrementalDedup {
       }).persist()
     }
 
+    // the batch's tiny-row count, computed ONCE and shared by the self tiny
+    // channel and the new→old cross tiny channel (r6 — each counted it
+    // separately)
+    val k2 = cfg.shingleK
+    val nTinyNew = phased("inc_candidates")(newToks.filter(_.n_tokens < k2).count())
+
     // ---- stage 2a: new-incident candidates ----
     val cappedShingleBuckets = sc.longAccumulator("incCappedShingleBuckets")
     val cappedShinglePairs = sc.longAccumulator("incCappedShinglePairsLost")
@@ -360,7 +366,8 @@ object IncrementalDedup {
           CandidateStage.crossMinhashChannelLens(newSigs, frontierSigs, cfg, cappedBandBuckets))
     }
     crossLens = crossLens
-      .union(CandidateStage.crossTinyChannelLens(newToks, oldToks, cfg, cappedTinyGramBuckets))
+      .union(CandidateStage.crossTinyChannelLens(newToks, oldToks, cfg, cappedTinyGramBuckets,
+        knownTinyCount = nTinyNew))
       .union(CandidateStage.crossTinyChannelLens(oldToks, newToks, cfg, cappedTinyGramBuckets))
 
     // orient cross pairs like the self-join channels (pattern = shorter side
