@@ -105,13 +105,23 @@ final class SuffixIndex {
   }
 
   /** Bottom-up merge sort on packed suffix views, comparing via
-    * `compareSuffixes` — guaranteed O(n log n), stable, zero boxing. */
+    * `compareSuffixes` — guaranteed O(n log n), stable, zero boxing.
+    *
+    * Every merge at one width level covers a DISJOINT [start, end) slice, so
+    * levels parallelize without changing a single comparison's outcome (the
+    * merge tree is fixed by the widths — the result is bit-identical to the
+    * sequential sort). The sort is the serial component of the broadcast
+    * fast path — one executor thread built the whole index while its
+    * siblings waited on the build monitor (r6; the level-parallel form uses
+    * the JVM common pool only for inputs past `parCut`). */
   private def mergeSort(a: Array[Long], tmp: Array[Long], from: Int, until: Int): Unit = {
     val n = until - from
     // insertion sort below this width (cache-friendly, few comparator calls)
     val insertionCut = 16
-    var lo = from
-    while (lo < until) {
+    val parCut = 1 << 18 // parallelize levels only for big indexes
+    val nBlocks = (n + insertionCut - 1) / insertionCut
+    def insertionBlock(b: Int): Unit = {
+      val lo = from + b * insertionCut
       val hi = math.min(lo + insertionCut, until)
       var i = lo + 1
       while (i < hi) {
@@ -121,29 +131,39 @@ final class SuffixIndex {
         a(j + 1) = v
         i += 1
       }
-      lo += insertionCut
+    }
+    if (n >= parCut)
+      java.util.stream.IntStream.range(0, nBlocks).parallel().forEach(insertionBlock(_))
+    else { var b = 0; while (b < nBlocks) { insertionBlock(b); b += 1 } }
+
+    def mergeAt(start: Int, width: Int): Unit = {
+      val mid = start + width
+      val end = math.min(start + 2 * width, until)
+      // skip the merge when already ordered across the boundary
+      if (compareSuffixes(a(mid - 1), a(mid)) > 0) {
+        System.arraycopy(a, start, tmp, start, end - start)
+        var i = start; var j = mid; var o = start
+        while (i < mid && j < end) {
+          if (compareSuffixes(tmp(i), tmp(j)) <= 0) { a(o) = tmp(i); i += 1 }
+          else { a(o) = tmp(j); j += 1 }
+          o += 1
+        }
+        while (i < mid) { a(o) = tmp(i); i += 1; o += 1 }
+        while (j < end) { a(o) = tmp(j); j += 1; o += 1 }
+      }
     }
     var width = insertionCut
     while (width < n) {
-      var start = from
-      while (start < until - width) {
-        val mid = start + width
-        val end = math.min(start + 2 * width, until)
-        // skip the merge when already ordered across the boundary
-        if (compareSuffixes(a(mid - 1), a(mid)) > 0) {
-          System.arraycopy(a, start, tmp, start, end - start)
-          var i = start; var j = mid; var o = start
-          while (i < mid && j < end) {
-            if (compareSuffixes(tmp(i), tmp(j)) <= 0) { a(o) = tmp(i); i += 1 }
-            else { a(o) = tmp(j); j += 1 }
-            o += 1
-          }
-          while (i < mid) { a(o) = tmp(i); i += 1; o += 1 }
-          while (j < end) { a(o) = tmp(j); j += 1; o += 1 }
-        }
-        start += 2 * width
+      val step = 2 * width
+      val nMerges = math.max(0, (until - width - from + step - 1) / step)
+      if (n >= parCut && nMerges > 1)
+        java.util.stream.IntStream.range(0, nMerges).parallel()
+          .forEach(m => mergeAt(from + m * step, width))
+      else {
+        var m = 0
+        while (m < nMerges) { mergeAt(from + m * step, width); m += 1 }
       }
-      width *= 2
+      width = step
     }
   }
 
