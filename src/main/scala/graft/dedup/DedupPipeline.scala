@@ -68,6 +68,13 @@ object DedupPipeline {
       // relative to the configured parallelism, exactly where the fixed
       // floor was pure overhead.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // let AQE apply the same byte-based coalescing INSIDE cached plans
+      // (default false): the retrieval/dedup paths persist their token/
+      // candidate/scored sets, and without this every cache materializes
+      // with the full configured shuffle partitioning — waves of near-empty
+      // tasks per cache build AND per cache read on small inputs (same
+      // scale-neutrality argument as parallelismFirst above).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
